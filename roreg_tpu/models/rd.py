@@ -1,0 +1,37 @@
+"""RD — rotation-guided keypoint detector.
+
+Equivalent of ``detector_eqv`` / ``detector_eqv_test``
+(reference network/rot_detect.py:8-55): a small SO(3) residual conv
+32 -> 64 -> 16, channel L2-norm, then the saliency score =
+std over the 60 rotation-correlation values of the feature with its own
+group-permuted copies. Keypoints whose group feature varies strongly under
+rotation are geometrically distinctive (the paper's rotation guidance).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from roreg_tpu.core.group import IcosahedralGroup
+from roreg_tpu.models.ops import ResidualCombConv, group_correlation
+
+__all__ = ["RotationDetector"]
+
+
+class RotationDetector(nn.Module):
+    group: IcosahedralGroup
+    mid_dim: int = 64
+    out_dim: int = 16
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, G, 32) group features -> (B,) saliency scores."""
+        nei = self.group.nei13
+        x = ResidualCombConv(self.mid_dim, self.out_dim, nei, name="enc")(feats, train)
+        x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        cor = group_correlation(x, x, self.group.cayley)  # (B, G)
+        # unbiased std over the G self-correlations (torch.std default)
+        mean = jnp.mean(cor, axis=-1, keepdims=True)
+        var = jnp.sum((cor - mean) ** 2, axis=-1) / (cor.shape[-1] - 1)
+        return jnp.sqrt(var)

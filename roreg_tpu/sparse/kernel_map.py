@@ -1,0 +1,183 @@
+"""Kernel-map construction for sparse convolution on TPU.
+
+The functional equivalent of MinkowskiEngine's CoordinateMapManager
+(reference ``src/coordinate_map_manager.cpp``, kernel maps decl ``:418-439``)
+— but instead of pointer-chasing hash maps we keep each level's packed keys
+*sorted* and resolve every (output voxel, kernel offset) query with a
+vectorized binary search (``jnp.searchsorted``), producing dense
+``(C_out, K)`` gather tables with ``-1`` for misses. Static shapes, fully
+jit-compatible, vmappable over the 60-rotation group axis.
+
+Level semantics mirror ME's tensor-stride model (coordinate inheritance for
+transposed convs, ``src/convolution_transpose_gpu.cu``):
+
+* level ``l`` holds coords that are multiples of ``2**l`` (in voxel units);
+* a stride-2 conv from level l produces coords ``c - (c mod 2**(l+1))`` —
+  exactly the coords ME emits when striding a coordinate map;
+* the transposed conv from level l+1 back to level l targets the *stored*
+  level-l coordinate set (inheritance), with neighbor lookups
+  ``c_coarse = c_fine + d * 2**l`` per kernel offset d.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roreg_tpu.sparse.voxelize import SENTINEL, VoxelGrid, pack_keys, voxelize
+
+__all__ = [
+    "hypercube_offsets",
+    "lookup",
+    "SparseLevel",
+    "SparsePyramid",
+    "build_pyramid",
+]
+
+
+def hypercube_offsets(kernel_size: int) -> np.ndarray:
+    """ME 'hypercube' kernel region: kernel_size**3 offsets, row-major order,
+    centered for odd sizes (region_type=0, src/kernel_region.hpp)."""
+    r = np.arange(kernel_size) - (kernel_size - 1) // 2
+    xx, yy, zz = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.int32)
+
+
+def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
+    """Binary-search each query key in sorted keys; -1 where absent."""
+    idx = jnp.searchsorted(sorted_keys, query_keys)
+    idx = jnp.clip(idx, 0, sorted_keys.shape[0] - 1)
+    found = sorted_keys[idx] == query_keys
+    return jnp.where(found & (query_keys != SENTINEL), idx, -1)
+
+
+def _neighbor_table(
+    src_keys: jnp.ndarray,
+    dst_coords: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    offsets: jnp.ndarray,
+    step: int,
+) -> jnp.ndarray:
+    """(C_dst, K) gather table: src row of (dst_coord + offset*step), -1 miss."""
+    q = dst_coords[:, None, :] + offsets[None, :, :] * step  # (C, K, 3)
+    ok = jnp.all((q >= 0) & (q < 1024), axis=-1) & dst_mask[:, None]
+    qk = jnp.where(ok, pack_keys(q), SENTINEL)
+    return lookup(src_keys, qk)
+
+
+class SparseLevel(NamedTuple):
+    keys: jnp.ndarray  # (C_l,) sorted packed coords (voxel units)
+    coords: jnp.ndarray  # (C_l, 3)
+    mask: jnp.ndarray  # (C_l,)
+    num: jnp.ndarray  # ()
+
+
+class SparsePyramid(NamedTuple):
+    """Per-cloud coordinate pyramid + all kernel maps the UNet needs.
+
+    levels:   tuple of SparseLevel, finest first.
+    conv1:    (C_0, K1) same-level map at level 0 with the first-conv kernel.
+    same:     per level, (C_l, 27) same-level 3^3 map (for residual blocks).
+    down:     per level l -> l+1, (C_{l+1}, 27) map into level l.
+    up:       per level l+1 -> l, (C_l, 27) map into level l+1.
+    grid:     the original VoxelGrid of level 0 (rep points, to_voxel, ...).
+    """
+
+    levels: tuple
+    conv1: jnp.ndarray
+    same: tuple
+    down: tuple
+    up: tuple
+    grid: VoxelGrid
+
+
+def _downsample(level: SparseLevel, stride: int, capacity: int) -> SparseLevel:
+    """Coords snapped to multiples of ``stride`` (ME stride map), compacted."""
+    snapped = (level.coords // stride) * stride
+    keys = jnp.where(level.mask, pack_keys(snapped), SENTINEL)
+    sk = jnp.sort(keys)
+    valid = sk != SENTINEL
+    isfirst = valid & jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    uidx = jnp.cumsum(isfirst.astype(jnp.int32)) - 1
+    num = jnp.sum(isfirst.astype(jnp.int32))
+    in_cap = isfirst & (uidx < capacity)
+    out = jnp.full((capacity + 1,), SENTINEL, dtype=jnp.int32)
+    out = out.at[jnp.where(in_cap, uidx, capacity)].set(
+        jnp.where(in_cap, sk, SENTINEL)
+    )
+    out = out[:capacity]
+    mask = out != SENTINEL
+    coords = jnp.stack(
+        [(out >> 20) & 1023, (out >> 10) & 1023, out & 1023], axis=-1
+    ).astype(jnp.int32)
+    return SparseLevel(
+        keys=out, coords=coords, mask=mask, num=jnp.minimum(num, capacity)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacities", "conv1_kernel_size", "num_levels")
+)
+def build_pyramid(
+    points: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    voxel_size: float,
+    capacities: tuple[int, ...],
+    conv1_kernel_size: int = 7,
+    num_levels: int = 4,
+) -> SparsePyramid:
+    """Voxelize a cloud and precompute every kernel map of the FCGF UNet.
+
+    This runs once per (cloud, rotation); the network forward afterwards is
+    pure gather/matmul. ``capacities`` are the static per-level row budgets.
+    """
+    assert len(capacities) == num_levels
+    grid = voxelize(points, point_mask, voxel_size, capacities[0])
+    lvl0 = SparseLevel(
+        keys=grid.keys, coords=grid.coords, mask=grid.mask, num=grid.num_voxels
+    )
+
+    off3 = jnp.asarray(hypercube_offsets(3))
+    offc1 = jnp.asarray(hypercube_offsets(conv1_kernel_size))
+
+    levels = [lvl0]
+    for l in range(1, num_levels):
+        levels.append(_downsample(levels[-1], 2**l, capacities[l]))
+
+    conv1 = _neighbor_table(lvl0.keys, lvl0.coords, lvl0.mask, offc1, 1)
+    same, down, up = [], [], []
+    for l in range(num_levels):
+        step = 2**l
+        same.append(
+            _neighbor_table(
+                levels[l].keys, levels[l].coords, levels[l].mask, off3, step
+            )
+        )
+    for l in range(num_levels - 1):
+        step = 2**l
+        # stride-2 conv: dst = level l+1, neighbors in level l at dst + d*step
+        down.append(
+            _neighbor_table(
+                levels[l].keys, levels[l + 1].coords, levels[l + 1].mask, off3, step
+            )
+        )
+        # transposed conv: dst = level l (inherited coords), src = level l+1,
+        # src coord = dst + d*step  (generative conv transpose relation)
+        up.append(
+            _neighbor_table(
+                levels[l + 1].keys, levels[l].coords, levels[l].mask, off3, step
+            )
+        )
+
+    return SparsePyramid(
+        levels=tuple(levels),
+        conv1=conv1,
+        same=tuple(same),
+        down=tuple(down),
+        up=tuple(up),
+        grid=grid,
+    )

@@ -1,0 +1,188 @@
+"""Golden-value tests for the sparse engine vs NumPy oracles
+(the reference validates ME the same way: tests/python/{quantization,
+coordinate_manager,kernel_map,convolution}.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roreg_tpu.sparse.conv import gather_conv
+from roreg_tpu.sparse.kernel_map import build_pyramid, hypercube_offsets
+from roreg_tpu.sparse.voxelize import voxelize
+
+
+def _np_voxel_set(points, voxel):
+    return set(map(tuple, np.unique(np.floor(points / voxel).astype(int), axis=0)))
+
+
+def test_voxelize_matches_numpy(rng):
+    pts = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    mask = np.ones(2000, dtype=bool)
+    vg = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.1, 4096)
+    ref = _np_voxel_set(pts, 0.1)
+    assert int(vg.num_voxels) == len(ref)
+    got = set(
+        map(tuple, (np.asarray(vg.coords) + np.asarray(vg.origin))[np.asarray(vg.mask)])
+    )
+    assert got == ref
+
+
+def test_voxelize_to_voxel_and_rep(rng):
+    pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, dtype=bool)
+    vg = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.2, 256)
+    tv = np.asarray(vg.to_voxel)
+    coords = np.asarray(vg.coords) + np.asarray(vg.origin)
+    # each point maps to the voxel containing it
+    expect = np.floor(pts / 0.2).astype(int)
+    assert np.array_equal(coords[tv], expect)
+    # representative point lies in its voxel and is the lowest original index
+    rep = np.asarray(vg.rep_point)[np.asarray(vg.mask)]
+    rc = np.floor(rep / 0.2).astype(int)
+    assert np.array_equal(rc, coords[np.asarray(vg.mask)])
+    for v in range(int(vg.num_voxels)):
+        members = np.where(tv == v)[0]
+        assert np.allclose(rep[v], pts[members.min()])
+
+
+def test_voxelize_masked_points(rng):
+    pts = rng.uniform(0, 1, size=(300, 3)).astype(np.float32)
+    mask = np.arange(300) < 150
+    vg = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.15, 256)
+    ref = _np_voxel_set(pts[:150], 0.15)
+    assert int(vg.num_voxels) == len(ref)
+    assert (np.asarray(vg.to_voxel)[150:] == -1).all()
+
+
+def test_voxelize_capacity_overflow(rng):
+    pts = rng.uniform(0, 1, size=(1000, 3)).astype(np.float32)
+    mask = np.ones(1000, dtype=bool)
+    vg = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.05, 64)  # too small
+    assert int(vg.num_voxels) == 64
+    assert int(np.asarray(vg.mask).sum()) == 64
+    tv = np.asarray(vg.to_voxel)
+    assert (tv < 64).all()
+
+
+def _brute_pyramid(points, voxel):
+    """dict-based oracle for coordinates and kernel maps."""
+    c0 = np.unique(np.floor(points / voxel).astype(int), axis=0)
+    c0 = c0 - c0.min(axis=0)
+    levels = [set(map(tuple, c0))]
+    for l in range(1, 4):
+        s = 2**l
+        levels.append({tuple((np.array(c) // s) * s) for c in levels[-1]})
+    return levels
+
+
+def test_pyramid_levels_match_oracle(rng):
+    pts = rng.uniform(0, 2, size=(3000, 3)).astype(np.float32)
+    mask = np.ones(3000, dtype=bool)
+    pyr = build_pyramid(
+        jnp.asarray(pts), jnp.asarray(mask), 0.05, (8192, 4096, 2048, 1024)
+    )
+    oracle = _brute_pyramid(pts, 0.05)
+    for l in range(4):
+        lvl = pyr.levels[l]
+        got = set(map(tuple, np.asarray(lvl.coords)[np.asarray(lvl.mask)]))
+        assert got == oracle[l], f"level {l}"
+
+
+def test_kernel_maps_match_oracle(rng):
+    pts = rng.uniform(0, 1, size=(800, 3)).astype(np.float32)
+    mask = np.ones(800, dtype=bool)
+    pyr = build_pyramid(
+        jnp.asarray(pts), jnp.asarray(mask), 0.1, (1024, 512, 256, 128),
+        conv1_kernel_size=3,
+    )
+    off = hypercube_offsets(3)
+    for l, (maps, step) in enumerate(zip(pyr.same, [1, 2, 4, 8])):
+        lvl = pyr.levels[l]
+        coords = np.asarray(lvl.coords)
+        keyset = {tuple(c): i for i, c in enumerate(coords[np.asarray(lvl.mask)])}
+        nbr = np.asarray(maps)
+        for i in range(int(lvl.num)):
+            for k, d in enumerate(off):
+                q = tuple(coords[i] + d * step)
+                expect = keyset.get(q, -1)
+                assert nbr[i, k] == expect
+    # down map level0 -> level1
+    lvl0, lvl1 = pyr.levels[0], pyr.levels[1]
+    key0 = {tuple(c): i for i, c in enumerate(np.asarray(lvl0.coords)[np.asarray(lvl0.mask)])}
+    nbr = np.asarray(pyr.down[0])
+    c1 = np.asarray(lvl1.coords)
+    for i in range(int(lvl1.num)):
+        for k, d in enumerate(off):
+            assert nbr[i, k] == key0.get(tuple(c1[i] + d), -1)
+
+
+def test_gather_conv_matches_oracle(rng):
+    n, m, K, cin, cout = 50, 40, 27, 8, 16
+    feats = rng.normal(size=(n, cin)).astype(np.float32)
+    nbr = rng.integers(-1, n, size=(m, K)).astype(np.int32)
+    w = rng.normal(size=(K, cin, cout)).astype(np.float32) * 0.1
+    out = gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w))
+    ref = np.zeros((m, cout), dtype=np.float32)
+    for i in range(m):
+        for k in range(K):
+            if nbr[i, k] >= 0:
+                ref[i] += feats[nbr[i, k]] @ w[k]
+    assert np.abs(np.asarray(out) - ref).max() < 1e-3
+
+
+def test_gather_conv_chunk_invariance(rng):
+    feats = rng.normal(size=(30, 4)).astype(np.float32)
+    nbr = rng.integers(-1, 30, size=(20, 27)).astype(np.int32)
+    w = rng.normal(size=(27, 4, 8)).astype(np.float32)
+    outs = [
+        np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w), k_chunk=c))
+        for c in (1, 9, 27, 5)
+    ]
+    for o in outs[1:]:
+        assert np.allclose(outs[0], o, atol=1e-4)
+
+
+def test_resunet_forward(rng):
+    import jax
+    from roreg_tpu.sparse.resunet import ResUNet
+
+    pts = rng.uniform(0, 2, size=(2000, 3)).astype(np.float32)
+    mask = np.ones(2000, dtype=bool)
+    caps = (4096, 1024, 512, 256)
+    pyr = build_pyramid(
+        jnp.asarray(pts), jnp.asarray(mask), 0.05, caps, conv1_kernel_size=3
+    )
+    feats = jnp.ones((caps[0], 1), dtype=jnp.float32)
+    net = ResUNet(conv1_kernel_size=3)
+    vars_ = net.init(jax.random.PRNGKey(0), feats, pyr, False)
+    out = net.apply(vars_, feats, pyr, False)
+    assert out.shape == (caps[0], 32)
+    valid = np.asarray(pyr.levels[0].mask)
+    o = np.asarray(out)
+    assert np.isfinite(o[valid]).all()
+    # normalized rows
+    assert np.allclose(np.linalg.norm(o[valid], axis=1), 1.0, atol=1e-4)
+    # pad rows zero
+    assert np.abs(o[~valid]).max() == 0.0
+
+
+def test_resunet_train_mode_updates_stats(rng):
+    import jax
+    from roreg_tpu.sparse.resunet import ResUNet
+
+    pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, dtype=bool)
+    caps = (1024, 512, 256, 128)
+    pyr = build_pyramid(
+        jnp.asarray(pts), jnp.asarray(mask), 0.05, caps, conv1_kernel_size=3
+    )
+    feats = jnp.ones((caps[0], 1), dtype=jnp.float32)
+    net = ResUNet(conv1_kernel_size=3)
+    vars_ = net.init(jax.random.PRNGKey(0), feats, pyr, True)
+    out, updates = net.apply(
+        vars_, feats, pyr, True, mutable=["batch_stats"]
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # stats moved off their init values
+    m = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in m)
