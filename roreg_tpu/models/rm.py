@@ -1,0 +1,322 @@
+"""RM — rotation-coherence matcher: graph attention + Sinkhorn OT.
+
+Equivalent of reference ``network/rot_coh_match.py`` (score_mat:8,
+Knn_*:34-62, attention/MultiHeadedAttention:84-120, Cross/Self attention
+blocks:122-242, Graph_enhance_net:244-274, sinkhorn_ot:277-321,
+Match_ot:323-390), redesigned for TPU:
+
+* channels-last layouts, all kNN-in-feature-space as masked ``lax.top_k``
+  over MXU score matrices;
+* every stage masked so variable keypoint counts ride a static capacity
+  (the reference varies 256-1538 points per problem, parses_train_rm.py:43);
+* log-space Sinkhorn as a ``lax.scan`` with mass assigned only to valid
+  rows/columns (the m x n + dustbin marginals of SuperGlue-style OT).
+
+Two enhancement layers (feature-space k = 16 then 8), each: cross-attention
+with a 60-d rotation-coherence indicator from the equivariant features,
+then self-attention mixing position encoding, local features and
+rotation-consistency confidence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from roreg_tpu.core.group import IcosahedralGroup
+
+__all__ = ["RotationCoherenceMatcher", "sinkhorn_log", "extract_matches"]
+
+_NEG = -1e9
+
+
+def _masked_instance_norm(x, mask, eps=1e-5):
+    """InstanceNorm over the point (and neighbor) axes, no affine params
+    (torch InstanceNorm2d default affine=False). x (B, N[, K], C), mask (B, N)."""
+    axes = tuple(range(1, x.ndim - 1))
+    m = mask
+    while m.ndim < x.ndim - 1:
+        m = m[..., None]
+    w = m.astype(x.dtype)[..., None]
+    denom = jnp.clip(jnp.sum(w, axis=axes, keepdims=True), 1.0)
+    mean = jnp.sum(x * w, axis=axes, keepdims=True) / denom
+    var = jnp.sum(((x - mean) ** 2) * w, axis=axes, keepdims=True) / denom
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class PointMLP(nn.Module):
+    """conv1x1 -> InstanceNorm -> relu -> conv1x1 (+ residual proj)
+    == mlp_2layer / Contextnorm (rot_coh_match.py:14-33, 65-82)."""
+
+    mid_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Dense(self.mid_dim, name="fc0")(x)
+        h = _masked_instance_norm(h, mask)
+        h = nn.relu(h)
+        h = nn.Dense(self.out_dim, name="fc1")(h)
+        if x.shape[-1] != self.out_dim:
+            h = h + nn.Dense(self.out_dim, name="res")(x)
+        return h
+
+
+class NeighborAttention(nn.Module):
+    """4-head attention of each point over its k feature-space neighbors
+    (MultiHeadedAttention, rot_coh_match.py:95-120)."""
+
+    num_heads: int = 4
+    d_model: int = 32
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        # query (B,M,C), key/value (B,M,K,C)
+        dh = self.d_model // self.num_heads
+        q = nn.Dense(self.d_model, name="proj_q")(query)
+        k = nn.Dense(self.d_model, name="proj_k")(key)
+        v = nn.Dense(self.d_model, name="proj_v")(value)
+        B, M, C = q.shape
+        K = k.shape[2]
+        q = q.reshape(B, M, self.num_heads, dh)
+        k = k.reshape(B, M, K, self.num_heads, dh)
+        v = v.reshape(B, M, K, self.num_heads, dh)
+        logits = jnp.einsum("bmhd,bmkhd->bmhk", q, k) / (dh**0.5)
+        prob = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bmhk,bmkhd->bmhd", prob, v).reshape(B, M, C)
+        return nn.Dense(self.d_model, name="merge")(out)
+
+
+def _topk_gather(score, feats, k, ref_mask):
+    """Top-k columns of score per row (masked), gathering ref feats.
+    score (B,M,N), feats (B,N,C) -> idx (B,M,k), gathered (B,M,k,C)."""
+    s = jnp.where(ref_mask[:, None, :], score, _NEG)
+    _, idx = jax.lax.top_k(s, k)
+    g = jnp.take_along_axis(feats[:, None], idx[..., None], axis=2)
+    return idx, g
+
+
+def _rotation_indicator(permuted, fixed, cayley):
+    """out[..., h] = sum_{g,c} permuted[..., cayley[g, h], c] * fixed[..., g, c]
+    (the coarse rotation indicator, rot_coh_match.py:142-165)."""
+    p = jnp.take(permuted, jnp.asarray(cayley), axis=-2)  # (..., G, H, C)
+    return jnp.einsum("...ghc,...gc->...h", p, fixed)
+
+
+class CrossAttentionBlock(nn.Module):
+    group: IcosahedralGroup
+    k: int
+    s2t: bool
+
+    @nn.compact
+    def __call__(self, source, target, source_eqv, target_eqv, featinv, mask_s, mask_t):
+        # source (B,M,C), target (B,N,C), *_eqv (B,·,G,C), featinv (B,M,C)
+        score = jnp.einsum("bmf,bnf->bmn", source, target)
+        knn_idx, knn_fea = _topk_gather(score, target, self.k, mask_t)
+        nn_idx = knn_idx[..., :1]
+        feat_out = NeighborAttention(name="cross_attn")(source, knn_fea, knn_fea)
+        feat_out = PointMLP(64, 32, name="merge")(
+            jnp.concatenate([featinv, source, feat_out], axis=-1), mask_s
+        )
+        # rotation indicator from the nearest neighbor's equivariant feature
+        B, N, G, C = target_eqv.shape
+        te = target_eqv.reshape(B, N, G * C)
+        te_nn = jnp.take_along_axis(
+            te, jnp.broadcast_to(nn_idx, (B, source.shape[1], G * C)), axis=1
+        ).reshape(B, source.shape[1], G, C)
+        if self.s2t:
+            r_ind = _rotation_indicator(source_eqv, te_nn, self.group.cayley)
+        else:
+            r_ind = _rotation_indicator(te_nn, source_eqv, self.group.cayley)
+        return feat_out, r_ind
+
+
+class SelfAttentionBlock(nn.Module):
+    group: IcosahedralGroup
+    k: int
+
+    @nn.compact
+    def __call__(self, feat, coor, r_ind, featinv, mask):
+        score = jnp.einsum("bmf,bnf->bmn", feat, feat)
+        knn_idx, knn_fea = _topk_gather(score, feat, self.k, mask)
+        knn_coor = jnp.take_along_axis(
+            coor[:, None], knn_idx[..., None], axis=2
+        ) - coor[:, :, None, :]
+        pos = PointMLP(64, 32, name="pos_en")(knn_coor, mask)
+        # rotation-consistency confidence: indicator + its masked max over points
+        r_masked = jnp.where(mask[..., None], r_ind, _NEG)
+        r_max = jnp.max(r_masked, axis=1, keepdims=True)
+        conf_in = jnp.concatenate(
+            [r_ind, jnp.broadcast_to(r_max, r_ind.shape)], axis=-1
+        )
+        conf = PointMLP(128, 32, name="ambiguity")(conf_in, mask)
+        pos = pos / jnp.clip(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-12)
+        knn_n = knn_fea / jnp.clip(
+            jnp.linalg.norm(knn_fea, axis=-1, keepdims=True), 1e-12
+        )
+        conf = conf / jnp.clip(jnp.linalg.norm(conf, axis=-1, keepdims=True), 1e-12)
+        value = PointMLP(64, 32, name="val_en")(
+            jnp.concatenate(
+                [pos, knn_n, jnp.broadcast_to(conf[:, :, None, :], knn_n.shape)],
+                axis=-1,
+            ),
+            mask,
+        )
+        out = NeighborAttention(name="self_attn")(feat, knn_n, value)
+        return PointMLP(64, 32, name="merge")(
+            jnp.concatenate([featinv, feat, out], axis=-1), mask
+        )
+
+
+class MergeInfoBlock(nn.Module):
+    group: IcosahedralGroup
+    k: int
+
+    @nn.compact
+    def __call__(self, s, t, s_eqv, t_eqv, s_coor, t_coor, s_inv, t_inv, mask_s, mask_t):
+        s2t, r_s = CrossAttentionBlock(self.group, self.k, True, name="cross_s2t")(
+            s, t, s_eqv, t_eqv, s_inv, mask_s, mask_t
+        )
+        es = SelfAttentionBlock(self.group, self.k, name="self_s")(
+            s2t, s_coor, r_s, s_inv, mask_s
+        )
+        t2s, r_t = CrossAttentionBlock(self.group, self.k, False, name="cross_t2s")(
+            t, s, t_eqv, s_eqv, t_inv, mask_t, mask_s
+        )
+        et = SelfAttentionBlock(self.group, self.k, name="self_t")(
+            t2s, t_coor, r_t, t_inv, mask_t
+        )
+        return es, et
+
+
+def sinkhorn_log(
+    scores: jnp.ndarray,
+    bin_score: jnp.ndarray,
+    iters: int,
+    mask_m: jnp.ndarray,
+    mask_n: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked log-space Sinkhorn OT with a learned dustbin
+    (sinkhorn_ot.log_optimal_transport, rot_coh_match.py:294-318).
+
+    Valid rows/cols get mass 1/(ms+ns); each dustbin absorbs the other
+    side's mass. Returns (B, M+1, N+1) log-coupling * (ms+ns).
+    """
+    B, M, N = scores.shape
+    ms = jnp.sum(mask_m, axis=-1).astype(scores.dtype)
+    ns = jnp.sum(mask_n, axis=-1).astype(scores.dtype)
+
+    pad_m = jnp.concatenate([mask_m, jnp.ones((B, 1), bool)], axis=1)
+    pad_n = jnp.concatenate([mask_n, jnp.ones((B, 1), bool)], axis=1)
+    ok = pad_m[:, :, None] & pad_n[:, None, :]
+
+    Z = jnp.full((B, M + 1, N + 1), bin_score, dtype=scores.dtype)
+    Z = Z.at[:, :M, :N].set(scores)
+    Z = jnp.where(ok, Z, _NEG)
+
+    norm = -jnp.log(ms + ns)  # (B,)
+    log_mu = jnp.where(
+        mask_m, norm[:, None], _NEG
+    )  # valid rows: 1/(ms+ns)
+    log_mu = jnp.concatenate([log_mu, (jnp.log(ns) + norm)[:, None]], axis=1)
+    log_nu = jnp.where(mask_n, norm[:, None], _NEG)
+    log_nu = jnp.concatenate([log_nu, (jnp.log(ms) + norm)[:, None]], axis=1)
+
+    def body(carry, _):
+        u, v = carry
+        u = log_mu - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
+        return (u, v), None
+
+    init = (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu))
+    (u, v), _ = jax.lax.scan(body, init, None, length=iters)
+    out = Z + u[:, :, None] + v[:, None, :] - norm[:, None, None]
+    return jnp.where(ok, out, _NEG)
+
+
+def extract_matches(scores_bin, mask_m, mask_n):
+    """Mutual-max correspondence extraction (Match_ot, rot_coh_match.py:369-380).
+
+    Returns matches0 (B, M) with -1 invalid, and matching scores (B, M)."""
+    core = scores_bin[:, :-1, :-1]
+    core = jnp.where(mask_m[:, :, None] & mask_n[:, None, :], core, _NEG)
+    max0 = jnp.max(core, axis=2)
+    idx0 = jnp.argmax(core, axis=2)
+    idx1 = jnp.argmax(core, axis=1)
+    mutual0 = jnp.take_along_axis(idx1, idx0, axis=1) == jnp.arange(core.shape[1])[None]
+    valid0 = mutual0 & mask_m & jnp.take_along_axis(mask_n, idx0, axis=1)
+    mscores = jnp.where(valid0, jnp.exp(max0), 0.0)
+    matches0 = jnp.where(valid0, idx0, -1)
+    return matches0, mscores
+
+
+class RotationCoherenceMatcher(nn.Module):
+    """Full RM network (Match_ot, rot_coh_match.py:323-390)."""
+
+    group: IcosahedralGroup
+    ks: tuple[int, ...] = (16, 8)
+    coor_norm_step: float = 0.025
+    sinkhorn_iters: int = 100
+    init_bin_score: float = 0.2
+
+    @nn.compact
+    def __call__(self, feats0, feats1, keys0, keys1, mask0, mask1):
+        """feats* (B, N, G, 32) descriptor group features; keys* (B, N, 3).
+
+        Returns dict: scores (B,M+1,N+1) log-OT, scores_other (B,M,N,L-?),
+        matches0/1, matching_scores0, plus the final embeddings.
+        """
+        s_eqv, t_eqv = feats0, feats1
+        s_coor = keys0 / self.coor_norm_step
+        t_coor = keys1 / self.coor_norm_step
+        s_inv = jnp.mean(s_eqv, axis=2)  # (B, M, C)
+        t_inv = jnp.mean(t_eqv, axis=2)
+
+        s, t = s_inv, t_inv
+        s_layers, t_layers = [], []
+        for li, k in enumerate(self.ks):
+            s, t = MergeInfoBlock(self.group, k, name=f"layer{li}")(
+                s, t, s_eqv, t_eqv, s_coor, t_coor,
+                s_inv, t_inv, mask0, mask1,
+            )
+            s_layers.append(s)
+            t_layers.append(t)
+
+        # aux per-layer supervision: softmax-product score maps (":357-361")
+        so = jnp.stack(
+            [jnp.einsum("bmf,bnf->bmn", a, b) for a, b in zip(s_layers, t_layers)],
+            axis=-1,
+        )
+        pair_ok = mask0[:, :, None] & mask1[:, None, :]
+        so_masked = jnp.where(pair_ok[..., None], so, _NEG)
+        scores_other = jax.nn.softmax(so_masked, axis=1) * jax.nn.softmax(
+            so_masked, axis=2
+        )
+
+        final = PointMLP(64, 32, name="final_mlp")
+        s_final = final(jnp.concatenate([s_inv, s_layers[-1]], axis=-1), mask0)
+        t_final = final(jnp.concatenate([t_inv, t_layers[-1]], axis=-1), mask1)
+        score = jnp.einsum("bmf,bnf->bmn", s_final, t_final)
+        score = jnp.where(pair_ok, score, _NEG)
+
+        bin_score = self.param(
+            "bin_score", lambda k: jnp.asarray(self.init_bin_score, jnp.float32)
+        )
+        scores_bin = sinkhorn_log(
+            score, bin_score, self.sinkhorn_iters, mask0, mask1
+        )
+        matches0, mscores0 = extract_matches(scores_bin, mask0, mask1)
+        matches1, mscores1 = extract_matches(
+            jnp.swapaxes(scores_bin, 1, 2), mask1, mask0
+        )
+        return {
+            "scores": scores_bin,
+            "scores_other": scores_other,
+            "matches0": matches0,
+            "matches1": matches1,
+            "matching_scores0": mscores0,
+            "matching_scores1": mscores1,
+            "source_final": s_final,
+            "target_final": t_final,
+        }
