@@ -91,6 +91,7 @@ class NeighborAttention(nn.Module):
 def _topk_gather(score, feats, k, ref_mask):
     """Top-k columns of score per row (masked), gathering ref feats.
     score (B,M,N), feats (B,N,C) -> idx (B,M,k), gathered (B,M,k,C)."""
+    k = min(k, score.shape[-1])  # tiny point sets: cap at available columns
     s = jnp.where(ref_mask[:, None, :], score, _NEG)
     _, idx = jax.lax.top_k(s, k)
     g = jnp.take_along_axis(feats[:, None], idx[..., None], axis=2)

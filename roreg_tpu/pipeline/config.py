@@ -1,0 +1,55 @@
+"""Single typed config tree for the inference pipeline.
+
+Replaces the reference's five near-duplicate argparse modules
+(``parses/parses_*.py``) and the magic constants buried in code
+(coor_norm_step at rot_coh_match.py:328, NMS k=5 at test/matcher.py:50).
+Defaults reproduce the paper's 3DMatch evaluation settings
+(Test.py:7-17, README.md:141-177).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # geometry
+    voxel_size: float = 0.025
+    group_size: int = 60
+
+    # static capacities (buckets) for the sparse pyramid, finest level first
+    capacities: tuple[int, ...] = (32768, 16384, 8192, 4096)
+    conv1_kernel_size: int = 7
+    backbone_variant: str = "ResUNetBN2C"
+
+    # how many of the 60 rotations run per jitted backbone pass
+    group_chunk: int = 10
+
+    # keypoints
+    num_keypoints: int = 5000  # keypoints per cloud (3DMatch protocol)
+    keynum: int = 1000  # sampled matches for estimation
+    nms_k: int = 5  # spatial NMS neighborhood (test/matcher.py:50)
+
+    # matcher
+    use_rd: bool = True
+    use_rm: bool = True
+    match_n: float = 0.999  # fraction/number of top matches kept (Test.py)
+    sinkhorn_iters: int = 100
+    coor_norm_step: float = 0.025
+
+    # estimator
+    estimator: str = "yohoo"  # or "yohoc"
+    max_iter: int = 1000
+    ransac_ird: float = 0.1  # inlier distance (ETH: 0.5)
+
+    # eval thresholds (tau_1/tau_2 from parses_test; RR from evaluator.py:94)
+    tau_1: float = 0.05
+    tau_2: float = 0.1
+    tau_3: float = 0.2
+    rr_rot_deg: float = 15.0
+    rr_trans: float = 0.3
+
+    # batching
+    bs_gf: int = 1250  # GF descriptor batch (parses_test bs_GF)
+    bs_et: int = 1000  # ET batch (parses_test bs_ET)

@@ -1,0 +1,102 @@
+"""Per-component validation metrics driving best-checkpoint selection.
+
+Equivalents of reference ``train/val.py``: Validation_GF (:8-72) batch +
+whole-set NN recall of invariant descriptors and rotation-index accuracy;
+Validation_ET (:75-130) quaternion angular-error statistics;
+Validation_RD (:133-178) score separation ok-rate; Validation_RM (:182-217)
+pair_ok_rate. Each returns the dict with the trainer's gate metric key.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roreg_tpu.core.so3 import quaternion_angle_deg
+
+__all__ = ["validate_gf", "validate_et", "validate_rd", "validate_rm"]
+
+
+def _nn_recall(feats0: np.ndarray, feats1: np.ndarray) -> float:
+    d = ((feats0[:, None] - feats1[None]) ** 2).sum(-1)
+    return float((d.argmin(1) == np.arange(len(feats0))).mean())
+
+
+def validate_gf(state, eval_fwd, batches, net_apply) -> dict:
+    """batches: list of GF batches; net_apply(params, bstats, feats)->out."""
+    inv0, inv1, dr_ok = [], [], []
+    for b in batches:
+        o0 = net_apply(state["params"], state["batch_stats"], b["feats0"])
+        o1 = net_apply(state["params"], state["batch_stats"], b["feats1"])
+        inv0.append(np.asarray(o0["inv"]))
+        inv1.append(np.asarray(o1["inv"]))
+        from roreg_tpu.models.ops import group_correlation
+        from roreg_tpu.core.group import get_group
+
+        cay = get_group(o0["eqv"].shape[-2]).cayley
+        pred = jnp.argmax(group_correlation(o0["eqv"], o1["eqv"], cay), -1)
+        dr_ok.append(np.asarray(pred == b["true_idx"]))
+    inv0 = np.concatenate(inv0)
+    inv1 = np.concatenate(inv1)
+    batch_recall = float(
+        np.mean([_nn_recall(a, b) for a, b in zip(np.split(inv0, len(batches)),
+                                                  np.split(inv1, len(batches)))])
+    )
+    whole = _nn_recall(inv0, inv1)
+    return {
+        "whole_recall": whole,
+        "batch_recall": batch_recall,
+        "dr_accuracy": float(np.concatenate(dr_ok).mean()),
+    }
+
+
+def validate_et(state, eval_fwd, batches, q_apply) -> dict:
+    """q_apply(params, bstats, batch) -> predicted quaternions (B, 4)."""
+    errs = []
+    for b in batches:
+        q = q_apply(state["params"], state["batch_stats"], b)
+        e = quaternion_angle_deg(q, b["delta_r"])
+        errs.append(np.asarray(e))
+    errs = np.concatenate(errs)
+    hist = np.array([np.mean((errs >= i) & (errs < i + 1)) for i in range(6)])
+    return {"R_error": float(errs.mean()), "R_error_statics": hist}
+
+
+def validate_rd(state, eval_fwd, batches, score_apply) -> dict:
+    """score separation ok-rate on Rdiff < 15deg-equivalent labels
+    (val.py:155-167; the 15/60 threshold is in label units)."""
+    ok_rates, avg_rdiffs = [], []
+    for b in batches:
+        scores = np.asarray(
+            score_apply(state["params"], state["batch_stats"], b)
+        )
+        rdiffs = np.asarray(b["rdiffs"])
+        bs = rdiffs.shape[0]
+        s = scores[:bs] + scores[bs:]
+        lo = rdiffs < 15 / 60
+        hi = ~lo
+        okscore = s[lo].mean() if lo.any() else 0.0
+        falsescore = s[hi].mean() if hi.any() else (2.0 if lo.all() else 1.0)
+        ok_rates.append((okscore - falsescore) / max(falsescore, 1e-12))
+        sn = s / max(s.sum(), 1e-12)
+        avg_rdiffs.append(float((sn * rdiffs).sum() * 60))
+    return {
+        "val_recall": float(np.mean(ok_rates)),
+        "val_avgRdiffs": float(np.mean(avg_rdiffs)),
+    }
+
+
+def validate_rm(state, eval_fwd, batches, match_apply) -> dict:
+    """pair_ok_rate: gt-matched points whose predicted match is correct."""
+    ok, base = 0, 0
+    for b in batches:
+        matches0 = np.asarray(
+            match_apply(state["params"], state["batch_stats"], b)
+        )[0]
+        gt = np.asarray(b["matches0"])[0]
+        mask = np.asarray(b["mask0"])[0]
+        has_gt = (gt != -1) & mask
+        base += int(has_gt.sum())
+        ok += int((matches0[has_gt] == gt[has_gt]).sum())
+    return {"pair_ok_rate": ok / max(base, 1)}

@@ -1,0 +1,147 @@
+"""Data layer (PLY, 3DMatch directory format, synthetic scenes) and the
+RR benchmark protocol."""
+
+import numpy as np
+import pytest
+
+from roreg_tpu.data.dataset import ThreeDMatchDataset, get_dataset_group
+from roreg_tpu.data.ply import read_ply, write_ply
+from roreg_tpu.data.synthetic import make_synthetic_scene
+from roreg_tpu.eval.benchmark import (
+    benchmark_scenes,
+    compute_transformation_error,
+    evaluate_registration,
+    read_trajectory,
+    read_trajectory_info,
+    write_trajectory,
+)
+from roreg_tpu.eval.metrics import fmr_ir, registration_errors
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(1000, 3)).astype(np.float32)
+    p = str(tmp_path / "c.ply")
+    write_ply(p, pts)
+    back = read_ply(p)
+    assert np.allclose(back, pts, atol=1e-6)
+
+
+def test_ply_ascii(tmp_path):
+    p = str(tmp_path / "a.ply")
+    with open(p, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex 2\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n1 2 3\n4 5 6\n"
+        )
+    pts = read_ply(p)
+    assert np.allclose(pts, [[1, 2, 3], [4, 5, 6]])
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    root = str(tmp_path_factory.mktemp("scene") / "kitchen")
+    return make_synthetic_scene(root, rng, num_clouds=3, points_per_cloud=4000,
+                                num_keypoints=256)
+
+
+def test_synthetic_scene_layout(scene):
+    assert len(scene.pair_ids) == 3  # (0,1) (0,2) (1,2)
+    assert scene.pc_ids == ["0", "1", "2"]
+    pc = scene.get_pc(0)
+    assert pc.shape == (4000, 3)
+    kps = scene.get_kps(0)
+    assert kps.shape == (256, 3)
+
+
+def test_synthetic_gt_consistency(scene):
+    """gt satisfies pts0 ~ T @ pts1 on the overlap region."""
+    T = scene.get_transform("0", "1")
+    pc0 = scene.get_pc(0)
+    pc1 = scene.get_pc(1)
+    moved = pc1 @ T[:3, :3].T + T[:3, 3]
+    # nearest-neighbor distance from moved pc1 to pc0, for a sample
+    sample = moved[::40]
+    d = np.sqrt(((sample[:, None] - pc0[None, :]) ** 2).sum(-1)).min(1)
+    # at least half the sampled points should be on the shared surface
+    assert np.median(d) < 0.05
+
+
+def test_gt_log_reread(scene):
+    pairs, traj = read_trajectory(scene.gt_log)
+    assert pairs.shape == (3, 3)
+    assert traj.shape == (3, 4, 4)
+    T = scene.get_transform("0", "1")
+    assert np.allclose(traj[0], T, atol=1e-6)
+
+
+def test_trajectory_info(scene):
+    n_frag, cov = read_trajectory_info(scene.gt_info)
+    assert n_frag == 3
+    assert cov.shape == (3, 6, 6)
+
+
+def test_transformation_error_zero_for_exact():
+    info = np.eye(6) * 5000
+    assert compute_transformation_error(np.eye(4), info) < 1e-12
+
+
+def test_evaluate_registration_synthetic(scene, tmp_path):
+    pairs, gt_traj = read_trajectory(scene.gt_log)
+    n_frag, cov = read_trajectory_info(scene.gt_info)
+    # perfect estimates -> all pairs with |i-j|>1 succeed
+    est_pairs = np.asarray([[int(p[0]), int(p[1])] for p in pairs])
+    prec, rec, flags, errors = evaluate_registration(
+        n_frag, gt_traj.copy(), est_pairs, pairs, gt_traj, cov, err2=0.2
+    )
+    assert rec == 1.0 and prec == 1.0
+    # corrupt the only non-consecutive pair (0,2)
+    bad = gt_traj.copy()
+    bad[1, :3, 3] += 1.0
+    prec, rec, flags, errors = evaluate_registration(
+        n_frag, bad, est_pairs, pairs, gt_traj, cov, err2=0.2
+    )
+    assert rec == 0.0
+
+
+def test_benchmark_scenes_and_write(scene, tmp_path):
+    pairs, gt_traj = read_trajectory(scene.gt_log)
+    est_pairs = np.asarray([[int(p[0]), int(p[1])] for p in pairs])
+    pre_log = str(tmp_path / "pre.log")
+    write_trajectory(est_pairs, gt_traj, pre_log, 3)
+    est_pairs2, est_traj2 = read_trajectory(pre_log)
+    assert np.allclose(est_traj2, gt_traj, atol=1e-9)
+    rr, per_scene = benchmark_scenes(
+        {
+            "kitchen": dict(
+                gt_log=scene.gt_log, gt_info=scene.gt_info,
+                est_pairs=est_pairs, est_traj=gt_traj,
+            )
+        }
+    )
+    assert rr == 1.0
+
+
+def test_fmr_ir_and_reg_errors(scene):
+    T = scene.get_transform("0", "1")
+    k0 = scene.get_kps(0)[:100]
+    k1 = (k0 - T[:3, 3]) @ T[:3, :3]  # exact correspondences inverted
+    fmr, ir = fmr_ir(k0, k1, np.ones(100, bool), T)
+    assert fmr == 1.0 and ir == 1.0
+    rre, rte = registration_errors(T, T)
+    assert rre < 1e-3 and rte < 1e-9
+    # junk matches
+    fmr, ir = fmr_ir(k0, k1 + 5.0, np.ones(100, bool), T)
+    assert fmr == 0.0 and ir == 0.0
+
+
+def test_get_dataset_group_structure(tmp_path):
+    # build a fake 'demo' tree via synthetic scene
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "demo" / "kitchen")
+    make_synthetic_scene(root, rng, num_clouds=2, points_per_cloud=1000,
+                         num_keypoints=64)
+    group = get_dataset_group("demo", str(tmp_path))
+    assert group["wholesetname"] == "demo"
+    assert group["kitchen"].pair_ids == [("0", "1")]
