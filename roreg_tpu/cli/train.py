@@ -1,0 +1,139 @@
+"""Training CLI — the ``Train.py`` equivalent.
+
+    python -m roreg_tpu.cli.train --component GF --data_root ./data \
+        --steps 100000 --checkpoint_dir ./checkpoints
+
+Components: GF (descriptor), RD (detector), RM (matcher), ET (local
+rotation). With ``--synthetic`` scenes are generated on the fly; with a
+real 3DMatch-format ``--data_root`` the same generators read real scans.
+Dispatch mirrors reference ``Train.py:16-41``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="roreg_tpu training")
+    p.add_argument("--component", required=True,
+                   choices=["GF", "RD", "RM", "ET"])
+    p.add_argument("--data_root", default="./data/origin_data")
+    p.add_argument("--trainset", default="synthetic")
+    p.add_argument("--checkpoint_dir", default="./checkpoints")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--group_size", type=int, default=60)
+    p.add_argument("--synthetic_scenes", type=int, default=4)
+    p.add_argument("--voxel_size", type=float, default=0.025)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel over a device mesh (0 = single)")
+    return p
+
+
+def _build_scenes(args):
+    import numpy as np
+
+    from roreg_tpu.data.synthetic import make_synthetic_scene
+
+    rng = np.random.default_rng(args.seed)
+    scenes = []
+    for i in range(args.synthetic_scenes):
+        root = os.path.join(args.data_root, "synthetic_train", f"scene{i}")
+        from roreg_tpu.data.dataset import ThreeDMatchDataset
+
+        if os.path.exists(f"{root}/PointCloud/gt.log"):
+            ds = ThreeDMatchDataset(root, 3)
+        else:
+            ds = make_synthetic_scene(
+                root, rng, num_clouds=3, points_per_cloud=20000,
+                num_keypoints=1024,
+            )
+        ds.name = f"synthetic_train/scene{i}"
+        scenes.append(ds)
+    return scenes
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import numpy as np
+
+    from roreg_tpu.pipeline.config import PipelineConfig
+    from roreg_tpu.pipeline.registration import RegistrationPipeline
+    from roreg_tpu.train.checkpoints import load_pipeline_variables
+    from roreg_tpu.train.data import (
+        RotatedFeatureCache,
+        gf_et_batches,
+        rm_batches,
+    )
+    from roreg_tpu.train.trainer import TrainConfig, Trainer
+
+    comp = args.component.lower()
+    pcfg = PipelineConfig(
+        voxel_size=args.voxel_size, group_size=args.group_size,
+        num_keypoints=1024,
+    )
+    pipe = RegistrationPipeline(pcfg, {})
+    pipe.init_variables(jax.random.PRNGKey(args.seed))
+    pipe.variables.update(
+        load_pipeline_variables(args.checkpoint_dir, pipe.variables)
+    )
+
+    scenes = _build_scenes(args)
+    rng = np.random.default_rng(args.seed + 1)
+    tcfg = TrainConfig.defaults(
+        comp, group_size=args.group_size, model_dir=args.checkpoint_dir
+    )
+
+    frozen = None
+    if comp in ("gf", "et"):
+        cache = RotatedFeatureCache(pcfg, pipe.variables["backbone"])
+        data = gf_et_batches(cache, scenes, tcfg.batch_size, rng)
+        if comp == "et":
+            frozen = {"gf": pipe.variables["gf"]}
+    elif comp == "rm":
+        # descriptor features per cloud from the current GF weights
+        from roreg_tpu.pipeline.extractor import extract_group_features
+        from roreg_tpu.pipeline.registration import gf_apply
+        import jax.numpy as jnp
+
+        gf_feats = {}
+        for ds in scenes:
+            for pc_id in ds.pc_ids:
+                pc = jnp.asarray(ds.get_pc(pc_id).astype(np.float32))
+                kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
+                bb = extract_group_features(
+                    pipe.variables["backbone"], pc,
+                    jnp.ones(pc.shape[0], bool), kp, pcfg,
+                )
+                gf = gf_apply(pipe.variables["gf"], bb, pcfg)
+                gf_feats[(ds.name, pc_id)] = np.asarray(gf)
+        data = rm_batches(
+            gf_feats, scenes, rng, min_ps=256, max_ps=1024, capacity=1024,
+            group_size=args.group_size,
+        )
+    elif comp == "rd":
+        from roreg_tpu.train.selfrun import build_rd_match_bank
+        from roreg_tpu.train.data import rd_batches
+
+        bank = build_rd_match_bank(pipe, scenes, seed=args.seed)
+        data = rd_batches(bank, tcfg.batch_size, rng)
+    else:
+        raise ValueError(comp)
+
+    trainer = Trainer(tcfg, data, frozen=frozen)
+    if args.n_devices:
+        from roreg_tpu.dist.mesh import make_mesh, shard_train_step
+
+        mesh = make_mesh(args.n_devices)
+        trainer.step_fn = shard_train_step(trainer.step_fn, mesh)
+    result = trainer.run(steps=args.steps)
+    print(json.dumps({k: str(v) for k, v in result.items()}))
+    return result
+
+
+if __name__ == "__main__":
+    main()

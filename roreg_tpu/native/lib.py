@@ -1,0 +1,147 @@
+"""ctypes bindings + lazy build for the native host library.
+
+The C++ side (voxelhash.cpp) is the analog of MinkowskiEngine's host
+coordinate engine for our data pipeline; this module compiles it on first
+use (g++ available in the image) and exposes numpy-typed wrappers. All
+entry points degrade to numpy fallbacks when no toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = [
+    "native_available",
+    "voxelize_host",
+    "voxel_nn_host",
+    "mutual_pairs_host",
+]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "voxelhash.cpp")
+_SO = os.path.join(_HERE, "_voxelhash.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.voxelize_hash.restype = ctypes.c_int64
+        lib.voxelize_hash.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_float, i32p, i32p, i32p,
+        ]
+        lib.voxel_nn.restype = None
+        lib.voxel_nn.argtypes = [
+            f32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_float,
+            f32p, ctypes.c_int64, ctypes.c_float, i32p,
+        ]
+        lib.mutual_pairs.restype = ctypes.c_int64
+        lib.mutual_pairs.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_float, i32p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def voxelize_host(points: np.ndarray, voxel_size: float):
+    """-> (to_voxel (n,), rep_index (n_vox,), vox_coords (n_vox, 3)).
+
+    First-appearance ordering, matching ME sparse_quantize(return_index)
+    semantics (backbone/fcgf/misc.py:87)."""
+    pts = np.ascontiguousarray(points, np.float32)
+    n = len(pts)
+    lib = _load()
+    if lib is None:  # numpy fallback
+        coords = np.floor(pts / voxel_size).astype(np.int32)
+        _, first, inv = np.unique(
+            coords, axis=0, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        to_voxel = rank[inv].astype(np.int32)
+        rep = first[order].astype(np.int32)
+        return to_voxel, rep, coords[rep]
+    to_voxel = np.empty(n, np.int32)
+    rep = np.empty(n, np.int32)
+    vc = np.empty((n, 3), np.int32)
+    nv = lib.voxelize_hash(pts, n, voxel_size, to_voxel, rep, vc)
+    return to_voxel, rep[:nv].copy(), vc[:nv].copy()
+
+
+def voxel_nn_host(
+    points: np.ndarray,
+    to_voxel: np.ndarray,
+    vox_coords: np.ndarray,
+    voxel_size: float,
+    queries: np.ndarray,
+    radius: float,
+) -> np.ndarray:
+    """Nearest point index within radius for each query (-1 if none)."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, np.float32)
+    qs = np.ascontiguousarray(queries, np.float32)
+    if lib is None:
+        d = ((qs[:, None] - pts[None]) ** 2).sum(-1)
+        idx = d.argmin(1)
+        best = d[np.arange(len(qs)), idx]
+        return np.where(best < radius * radius, idx, -1).astype(np.int32)
+    out = np.empty(len(qs), np.int32)
+    lib.voxel_nn(
+        pts, np.ascontiguousarray(to_voxel, np.int32), len(pts),
+        np.ascontiguousarray(vox_coords, np.int32), len(vox_coords),
+        voxel_size, qs, len(qs), radius, out,
+    )
+    return out
+
+
+def mutual_pairs_host(
+    keys0_t: np.ndarray, keys1: np.ndarray, thre: float
+) -> np.ndarray:
+    """Mutual-NN gt pairing (RM.py pairmatch): keys0_t already transformed
+    into keys1's frame. -> (P, 2) int32 pairs."""
+    lib = _load()
+    k0 = np.ascontiguousarray(keys0_t, np.float32)
+    k1 = np.ascontiguousarray(keys1, np.float32)
+    if lib is None:
+        d = np.sqrt(((k0[:, None] - k1[None]) ** 2).sum(-1))
+        a01 = d.argmin(1)
+        a10 = d.argmin(0)
+        ii = np.arange(len(k0))
+        ok = (a10[a01] == ii) & (d[ii, a01] < thre)
+        return np.stack([ii[ok], a01[ok]], -1).astype(np.int32)
+    out = np.empty((len(k0), 2), np.int32)
+    np_ = lib.mutual_pairs(k0, len(k0), k1, len(k1), thre, out)
+    return out[:np_].copy()

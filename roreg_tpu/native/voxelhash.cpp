@@ -1,0 +1,213 @@
+// Host-side native kernels for the data-loading path.
+//
+// The reference vendors MinkowskiEngine's C++ coordinate engine for host
+// voxelization (src/quantization.cpp, robin_hood hashing) and calls it from
+// 16 dataloader worker processes (testset.py:186-193). This library is the
+// TPU build's equivalent: an open-addressing voxel hash used by the host
+// data pipeline to quantize clouds, find per-voxel representative points,
+// and pre-bucket clouds before device transfer. Called through ctypes; all
+// functions release the GIL by construction (pure C ABI, no Python).
+//
+// Build: see roreg_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+// 64-bit mix (splitmix64 finalizer) — good avalanche for packed coords.
+inline uint64_t mix(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+inline uint64_t pack(int32_t x, int32_t y, int32_t z) {
+  // 21 bits per axis, offset to non-negative
+  const uint64_t off = 1u << 20;
+  return ((uint64_t)(x + off) << 42) | ((uint64_t)(y + off) << 21) |
+         (uint64_t)(z + off);
+}
+
+struct HashMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask;
+  static constexpr uint64_t EMPTY = ~0ull;
+
+  explicit HashMap(int64_t expected) {
+    uint64_t cap = 16;
+    while (cap < (uint64_t)(expected * 2)) cap <<= 1;
+    keys.assign(cap, EMPTY);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+
+  // insert key if absent; returns (slot value, inserted?)
+  int32_t get_or_insert(uint64_t key, int32_t next_id, bool* inserted) {
+    uint64_t h = mix(key) & mask;
+    for (;;) {
+      if (keys[h] == EMPTY) {
+        keys[h] = key;
+        vals[h] = next_id;
+        *inserted = true;
+        return next_id;
+      }
+      if (keys[h] == key) {
+        *inserted = false;
+        return vals[h];
+      }
+      h = (h + 1) & mask;
+    }
+  }
+
+  int32_t find(uint64_t key) const {
+    uint64_t h = mix(key) & mask;
+    for (;;) {
+      if (keys[h] == EMPTY) return -1;
+      if (keys[h] == key) return vals[h];
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Voxelize n points at voxel_size. Outputs (caller-allocated):
+//   to_voxel   (n)        voxel id per point (order of first appearance)
+//   rep_index  (n)        first point index per voxel (valid for [0, n_vox))
+//   vox_coords (n * 3)    int voxel coords per voxel   (valid for [0, n_vox))
+// Returns the number of unique voxels (n_vox).
+int64_t voxelize_hash(const float* pts, int64_t n, float voxel_size,
+                      int32_t* to_voxel, int32_t* rep_index,
+                      int32_t* vox_coords) {
+  HashMap map(n);
+  int32_t next = 0;
+  const float inv = 1.0f / voxel_size;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t cx = (int32_t)std::floor(pts[i * 3 + 0] * inv);
+    int32_t cy = (int32_t)std::floor(pts[i * 3 + 1] * inv);
+    int32_t cz = (int32_t)std::floor(pts[i * 3 + 2] * inv);
+    bool inserted = false;
+    int32_t id = map.get_or_insert(pack(cx, cy, cz), next, &inserted);
+    if (inserted) {
+      rep_index[id] = (int32_t)i;
+      vox_coords[id * 3 + 0] = cx;
+      vox_coords[id * 3 + 1] = cy;
+      vox_coords[id * 3 + 2] = cz;
+      ++next;
+    }
+    to_voxel[i] = id;
+  }
+  return next;
+}
+
+// Radius-limited nearest neighbor from each query to the voxelized cloud:
+// for each query point, search the 27 neighboring voxels of its cell and
+// return the index (into rep/original points) of the nearest point found
+// within radius, else -1. Used for keypoint->voxel association on host.
+void voxel_nn(const float* pts, const int32_t* to_voxel, int64_t n,
+              const int32_t* vox_coords, int64_t n_vox, float voxel_size,
+              const float* queries, int64_t nq, float radius,
+              int32_t* out_index) {
+  // rebuild the map voxel->first point list head (chained via next array)
+  HashMap map(n_vox);
+  std::vector<int32_t> head(n_vox, -1);
+  std::vector<int32_t> nxt(n, -1);
+  int32_t next_id = 0;
+  for (int64_t v = 0; v < n_vox; ++v) {
+    bool ins;
+    map.get_or_insert(
+        pack(vox_coords[v * 3], vox_coords[v * 3 + 1], vox_coords[v * 3 + 2]),
+        next_id, &ins);
+    if (ins) ++next_id;
+  }
+  for (int64_t i = n - 1; i >= 0; --i) {  // reverse so heads get low indices
+    int32_t v = to_voxel[i];
+    nxt[i] = head[v];
+    head[v] = (int32_t)i;
+  }
+  const float inv = 1.0f / voxel_size;
+  const float r2 = radius * radius;
+  for (int64_t q = 0; q < nq; ++q) {
+    float qx = queries[q * 3], qy = queries[q * 3 + 1], qz = queries[q * 3 + 2];
+    int32_t cx = (int32_t)std::floor(qx * inv);
+    int32_t cy = (int32_t)std::floor(qy * inv);
+    int32_t cz = (int32_t)std::floor(qz * inv);
+    float best = r2;
+    int32_t best_i = -1;
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          int32_t v = map.find(pack(cx + dx, cy + dy, cz + dz));
+          if (v < 0) continue;
+          for (int32_t i = head[v]; i >= 0; i = nxt[i]) {
+            float ddx = pts[i * 3] - qx;
+            float ddy = pts[i * 3 + 1] - qy;
+            float ddz = pts[i * 3 + 2] - qz;
+            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 < best) {
+              best = d2;
+              best_i = i;
+            }
+          }
+        }
+    out_index[q] = best_i;
+  }
+}
+
+// Mutual-nearest gt pairing on host (the RM trainset's pairmatch kernel,
+// reference train/trainset/RM.py:131-152) — O(n0*n1) with blocking.
+int64_t mutual_pairs(const float* k0t, int64_t n0, const float* k1, int64_t n1,
+                     float thre, int32_t* out_pairs /* capacity n0*2 */) {
+  std::vector<int32_t> a01(n0), a10(n1);
+  std::vector<float> d01(n0);
+  for (int64_t i = 0; i < n0; ++i) {
+    float best = 1e30f;
+    int32_t bj = 0;
+    for (int64_t j = 0; j < n1; ++j) {
+      float dx = k0t[i * 3] - k1[j * 3];
+      float dy = k0t[i * 3 + 1] - k1[j * 3 + 1];
+      float dz = k0t[i * 3 + 2] - k1[j * 3 + 2];
+      float d2 = dx * dx + dy * dy + dz * dz;
+      if (d2 < best) {
+        best = d2;
+        bj = (int32_t)j;
+      }
+    }
+    a01[i] = bj;
+    d01[i] = best;
+  }
+  for (int64_t j = 0; j < n1; ++j) {
+    float best = 1e30f;
+    int32_t bi = 0;
+    for (int64_t i = 0; i < n0; ++i) {
+      float dx = k0t[i * 3] - k1[j * 3];
+      float dy = k0t[i * 3 + 1] - k1[j * 3 + 1];
+      float dz = k0t[i * 3 + 2] - k1[j * 3 + 2];
+      float d2 = dx * dx + dy * dy + dz * dz;
+      if (d2 < best) {
+        best = d2;
+        bi = (int32_t)i;
+      }
+    }
+    a10[j] = bi;
+  }
+  int64_t np = 0;
+  const float t2 = thre * thre;
+  for (int64_t i = 0; i < n0; ++i) {
+    if (a10[a01[i]] == (int32_t)i && d01[i] < t2) {
+      out_pairs[np * 2] = (int32_t)i;
+      out_pairs[np * 2 + 1] = a01[i];
+      ++np;
+    }
+  }
+  return np;
+}
+
+}  // extern "C"
