@@ -67,6 +67,15 @@ def _load():
         lib.mutual_pairs.argtypes = [
             f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_float, i32p,
         ]
+        lib.unique_snapped.restype = ctypes.c_int64
+        lib.unique_snapped.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
+        lib.neighbor_table.restype = None
+        lib.neighbor_table.argtypes = [
+            i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_int32, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -124,6 +133,42 @@ def voxel_nn_host(
         np.ascontiguousarray(vox_coords, np.int32), len(vox_coords),
         voxel_size, qs, len(qs), radius, out,
     )
+    return out
+
+
+def unique_snapped_host(coords: np.ndarray, stride: int) -> np.ndarray:
+    """Snap int coords to multiples of stride, dedupe (first appearance)."""
+    c = np.ascontiguousarray(coords, np.int32)
+    lib = _load()
+    if lib is None:
+        snapped = np.floor_divide(c, stride) * stride
+        _, first = np.unique(snapped, axis=0, return_index=True)
+        return snapped[np.sort(first)]
+    out = np.empty_like(c)
+    n = lib.unique_snapped(c, len(c), stride, out)
+    return out[:n].copy()
+
+
+def neighbor_table_host(
+    src_coords: np.ndarray,
+    dst_coords: np.ndarray,
+    offsets: np.ndarray,
+    step: int,
+) -> np.ndarray:
+    """(n_dst, K) gather table into src rows; -1 where absent."""
+    sc = np.ascontiguousarray(src_coords, np.int32)
+    dc = np.ascontiguousarray(dst_coords, np.int32)
+    off = np.ascontiguousarray(offsets, np.int32)
+    lib = _load()
+    if lib is None:
+        lut = {tuple(c): i for i, c in enumerate(sc)}
+        out = np.full((len(dc), len(off)), -1, np.int32)
+        for d in range(len(dc)):
+            for j, o in enumerate(off):
+                out[d, j] = lut.get(tuple(dc[d] + o * step), -1)
+        return out
+    out = np.empty((len(dc), len(off)), np.int32)
+    lib.neighbor_table(sc, len(sc), dc, len(dc), off, len(off), step, out)
     return out
 
 

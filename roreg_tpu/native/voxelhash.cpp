@@ -210,4 +210,58 @@ int64_t mutual_pairs(const float* k0t, int64_t n0, const float* k1, int64_t n1,
   return np;
 }
 
+// Snap coords to multiples of `stride` and dedupe (first appearance).
+// out_coords must hold n*3. Returns unique count.
+int64_t unique_snapped(const int32_t* coords, int64_t n, int32_t stride,
+                       int32_t* out_coords) {
+  HashMap map(n);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t cx = (coords[i * 3] / stride) * stride;
+    int32_t cy = (coords[i * 3 + 1] / stride) * stride;
+    int32_t cz = (coords[i * 3 + 2] / stride) * stride;
+    // careful with negative coords: C++ division truncates toward zero
+    if (coords[i * 3] < 0 && coords[i * 3] % stride) cx -= stride;
+    if (coords[i * 3 + 1] < 0 && coords[i * 3 + 1] % stride) cy -= stride;
+    if (coords[i * 3 + 2] < 0 && coords[i * 3 + 2] % stride) cz -= stride;
+    bool ins;
+    int32_t id = map.get_or_insert(pack(cx, cy, cz), next, &ins);
+    if (ins) {
+      out_coords[id * 3] = cx;
+      out_coords[id * 3 + 1] = cy;
+      out_coords[id * 3 + 2] = cz;
+      ++next;
+    }
+    (void)id;
+  }
+  return next;
+}
+
+// Kernel map: for each dst coord and each of k offsets (scaled by step),
+// the src row index or -1. The ME kernel-map equivalent
+// (src/coordinate_map_manager.cpp kernel_map), host-side.
+void neighbor_table(const int32_t* src_coords, int64_t n_src,
+                    const int32_t* dst_coords, int64_t n_dst,
+                    const int32_t* offsets, int64_t k, int32_t step,
+                    int32_t* out) {
+  HashMap map(n_src);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n_src; ++i) {
+    bool ins;
+    map.get_or_insert(
+        pack(src_coords[i * 3], src_coords[i * 3 + 1], src_coords[i * 3 + 2]),
+        next, &ins);
+    if (ins) ++next;
+  }
+  for (int64_t d = 0; d < n_dst; ++d) {
+    int32_t cx = dst_coords[d * 3], cy = dst_coords[d * 3 + 1],
+            cz = dst_coords[d * 3 + 2];
+    for (int64_t j = 0; j < k; ++j) {
+      out[d * k + j] = map.find(pack(cx + offsets[j * 3] * step,
+                                     cy + offsets[j * 3 + 1] * step,
+                                     cz + offsets[j * 3 + 2] * step));
+    }
+  }
+}
+
 }  // extern "C"
