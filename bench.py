@@ -26,7 +26,15 @@ BASELINE_PAIRS_PER_S = 0.73
 
 
 def main():
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from roreg_tpu.data.synthetic import make_synthetic_scene
@@ -37,7 +45,7 @@ def main():
         rm_apply,
         et_apply,
     )
-    from roreg_tpu.pipeline.extractor import extract_group_features
+    from roreg_tpu.pipeline.extractor import extract as extract_group_features
     from roreg_tpu.pipeline import estimator as est
     from roreg_tpu.pipeline.matcher import nms_sample, top_match_subset
     from roreg_tpu.core.group import get_group

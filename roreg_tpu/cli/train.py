@@ -96,7 +96,7 @@ def main(argv=None):
             frozen = {"gf": pipe.variables["gf"]}
     elif comp == "rm":
         # descriptor features per cloud from the current GF weights
-        from roreg_tpu.pipeline.extractor import extract_group_features
+        from roreg_tpu.pipeline.extractor import extract as extract_group_features
         from roreg_tpu.pipeline.registration import gf_apply
         import jax.numpy as jnp
 

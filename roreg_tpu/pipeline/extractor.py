@@ -21,7 +21,29 @@ from roreg_tpu.pipeline.config import PipelineConfig
 from roreg_tpu.sparse.kernel_map import build_pyramid
 from roreg_tpu.sparse.resunet import ResUNet
 
-__all__ = ["make_backbone", "extract_group_features"]
+__all__ = [
+    "make_backbone",
+    "extract",
+    "extract_group_features",
+    "extract_group_features_hostmaps",
+]
+
+
+def extract(backbone_variables, points, point_mask, keypoints, cfg):
+    """Dispatch: host-map path (production) or all-device path (jit-only
+    contexts like the multichip dry run)."""
+    if cfg.host_maps:
+        import numpy as np
+
+        pts = np.asarray(points)
+        if point_mask is not None:
+            pts = pts[np.asarray(point_mask)]
+        return extract_group_features_hostmaps(
+            backbone_variables, pts, np.asarray(keypoints), cfg
+        )
+    return extract_group_features(
+        backbone_variables, points, point_mask, keypoints, cfg
+    )
 
 
 def make_backbone(cfg: PipelineConfig) -> ResUNet:
@@ -78,3 +100,67 @@ def extract_group_features(
     out = jax.lax.map(one_chunk, rot_chunks)  # (g/chunk, chunk, K, 32)
     out = out.reshape(g, keypoints.shape[0], 32)
     return jnp.transpose(out, (1, 0, 2))  # (K, G, 32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _backbone_chunk(
+    backbone_variables, pyr_stack, keys_rot: jnp.ndarray, cfg: PipelineConfig
+) -> jnp.ndarray:
+    """Jitted per-chunk forward: vmap the backbone + keypoint kNN over a
+    stacked chunk of host-built pyramids. keys_rot (chunk, K, 3)."""
+    backbone = make_backbone(cfg)
+    feats_in = jnp.ones((cfg.capacities[0], 1), dtype=jnp.float32)
+
+    def one(pyr, keys_r):
+        feats = backbone.apply(backbone_variables, feats_in, pyr, False)
+        _, idx = knn_nn(keys_r, pyr.grid.rep_point, ref_mask=pyr.grid.mask)
+        return feats[idx]
+
+    return jax.vmap(one)(pyr_stack, keys_rot)  # (chunk, K, 32)
+
+
+def extract_group_features_hostmaps(
+    backbone_variables,
+    points,
+    keypoints,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Production extractor: host (C++) coordinate/kernel-map construction,
+    device conv compute. Same semantics as :func:`extract_group_features`
+    (testset.py parity) at a fraction of the compile and map-build cost —
+    the MinkowskiEngine split (host CoordinateMapManager, device GEMMs),
+    done TPU-style. points/keypoints are host numpy arrays.
+    """
+    import numpy as np
+
+    from roreg_tpu.native.pyramid import build_pyramid_host
+
+    group = get_group(cfg.group_size)
+    rots = group.rotations.astype(np.float32)
+    g = cfg.group_size
+    chunk = cfg.group_chunk
+    assert g % chunk == 0
+
+    pts = np.ascontiguousarray(points, np.float32)
+    kps = np.ascontiguousarray(keypoints, np.float32)
+
+    outs = []
+    for c0 in range(0, g, chunk):
+        pyrs, keys_r = [], []
+        for gi in range(c0, c0 + chunk):
+            R = rots[gi]
+            pyrs.append(
+                build_pyramid_host(
+                    pts @ R.T, cfg.voxel_size, cfg.capacities,
+                    conv1_kernel_size=cfg.conv1_kernel_size,
+                )
+            )
+            keys_r.append(kps @ R.T)
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pyrs)
+        outs.append(
+            _backbone_chunk(
+                backbone_variables, stacked, jnp.asarray(np.stack(keys_r)), cfg
+            )
+        )
+    out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
+    return jnp.transpose(out, (1, 0, 2))

@@ -198,9 +198,22 @@ class RegistrationPipeline:
 
     def describe(self, points, point_mask, keypoints):
         """Cloud -> backbone group features -> descriptor eqv features."""
-        bb = extract_group_features(
-            self.variables["backbone"], points, point_mask, keypoints, self.cfg
-        )
+        if self.cfg.host_maps:
+            import numpy as np
+
+            from roreg_tpu.pipeline.extractor import (
+                extract_group_features_hostmaps,
+            )
+
+            pts = np.asarray(points)[np.asarray(point_mask)]
+            bb = extract_group_features_hostmaps(
+                self.variables["backbone"], pts, np.asarray(keypoints), self.cfg
+            )
+        else:
+            bb = extract_group_features(
+                self.variables["backbone"], points, point_mask, keypoints,
+                self.cfg,
+            )
         gf = gf_apply(self.variables["gf"], bb, self.cfg)
         return bb, gf
 

@@ -28,7 +28,7 @@ import numpy as np
 from roreg_tpu.core.group import get_group
 from roreg_tpu.data.dataset import ThreeDMatchDataset
 from roreg_tpu.pipeline.config import PipelineConfig
-from roreg_tpu.pipeline.extractor import extract_group_features
+from roreg_tpu.pipeline.extractor import extract as extract_group_feats
 
 __all__ = ["RotatedFeatureCache", "gf_et_batches", "rm_batches", "rd_batches"]
 
@@ -70,7 +70,7 @@ class RotatedFeatureCache:
             Rs, feats = [], []
             for _ in range(self.rnum):
                 R = _random_rotation_np(rng).astype(np.float32)
-                f = extract_group_features(
+                f = extract_group_feats(
                     self.backbone_vars,
                     jnp.asarray(pc @ R.T),
                     jnp.ones((pc.shape[0],), bool),

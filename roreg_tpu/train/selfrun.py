@@ -15,7 +15,7 @@ import numpy as np
 from roreg_tpu.core.group import get_group
 from roreg_tpu.core.knn import mutual_nn
 from roreg_tpu.pipeline import estimator as est
-from roreg_tpu.pipeline.extractor import extract_group_features
+from roreg_tpu.pipeline.extractor import extract as extract_group_feats
 from roreg_tpu.pipeline.registration import et_apply, gf_apply
 
 __all__ = ["build_rd_match_bank"]
@@ -30,7 +30,7 @@ def build_rd_match_bank(pipe, scenes, seed: int = 0) -> list[dict]:
         for pc_id in ds.pc_ids:
             pc = jnp.asarray(ds.get_pc(pc_id).astype(np.float32))
             kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
-            bb = extract_group_features(
+            bb = extract_group_feats(
                 pipe.variables["backbone"], pc, jnp.ones(pc.shape[0], bool),
                 kp, cfg,
             )
