@@ -154,20 +154,28 @@ def neighbor_table_host(
     dst_coords: np.ndarray,
     offsets: np.ndarray,
     step: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(n_dst, K) gather table into src rows; -1 where absent."""
+    """(n_dst, K) gather table into src rows; -1 where absent.
+
+    Pass a preallocated ``out`` with >= n_dst rows (extra rows must already
+    be -1) to skip the padding copy — the hot path for pyramid builds."""
     sc = np.ascontiguousarray(src_coords, np.int32)
     dc = np.ascontiguousarray(dst_coords, np.int32)
     off = np.ascontiguousarray(offsets, np.int32)
     lib = _load()
     if lib is None:
         lut = {tuple(c): i for i, c in enumerate(sc)}
-        out = np.full((len(dc), len(off)), -1, np.int32)
+        res = np.full((len(dc), len(off)), -1, np.int32)
         for d in range(len(dc)):
             for j, o in enumerate(off):
-                out[d, j] = lut.get(tuple(dc[d] + o * step), -1)
+                res[d, j] = lut.get(tuple(dc[d] + o * step), -1)
+        if out is None:
+            return res
+        out[: len(dc)] = res
         return out
-    out = np.empty((len(dc), len(off)), np.int32)
+    if out is None:
+        out = np.empty((len(dc), len(off)), np.int32)
     lib.neighbor_table(sc, len(sc), dc, len(dc), off, len(off), step, out)
     return out
 

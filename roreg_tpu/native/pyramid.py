@@ -21,7 +21,7 @@ from roreg_tpu.native.lib import (
 from roreg_tpu.sparse.kernel_map import SparseLevel, SparsePyramid, hypercube_offsets
 from roreg_tpu.sparse.voxelize import VoxelGrid
 
-__all__ = ["build_pyramid_host"]
+__all__ = ["build_pyramid_host", "alloc_pyramid_buffers", "fill_pyramid_host"]
 
 
 def _pad_rows(x: np.ndarray, cap: int, fill=0):
@@ -29,6 +29,124 @@ def _pad_rows(x: np.ndarray, cap: int, fill=0):
         return x[:cap]
     pad = np.full((cap - x.shape[0],) + x.shape[1:], fill, x.dtype)
     return np.concatenate([x, pad], 0)
+
+
+def alloc_pyramid_buffers(
+    capacities: tuple[int, ...],
+    conv1_kernel_size: int,
+    batch: int | None = None,
+    num_levels: int = 4,
+) -> SparsePyramid:
+    """Preallocate a (optionally batched) SparsePyramid of numpy buffers.
+
+    With ``batch``, every leaf gets a leading batch axis; fill each slot via
+    ``fill_pyramid_host(pts, ..., out=tree_slice(buf, i))`` — this is how
+    the extractor avoids re-allocating + np.stack-ing ~0.5 GB per rotation
+    chunk.
+    """
+
+    def arr(shape, dtype, fill=0):
+        s = (batch,) + shape if batch is not None else shape
+        a = np.empty(s, dtype)
+        a.fill(fill)
+        return a
+
+    caps = capacities
+    k1 = conv1_kernel_size**3
+    levels = tuple(
+        SparseLevel(
+            keys=arr((caps[l],), np.int32, 2**31 - 1),
+            coords=arr((caps[l], 3), np.int32),
+            mask=arr((caps[l],), bool, False),
+            num=arr((), np.int32),
+        )
+        for l in range(num_levels)
+    )
+    same = tuple(arr((caps[l], 27), np.int32, -1) for l in range(num_levels))
+    down = tuple(arr((caps[l + 1], 27), np.int32, -1) for l in range(num_levels - 1))
+    up = tuple(arr((caps[l], 27), np.int32, -1) for l in range(num_levels - 1))
+    conv1 = arr((caps[0], k1), np.int32, -1)
+    grid = VoxelGrid(
+        keys=levels[0].keys,
+        coords=levels[0].coords,
+        mask=levels[0].mask,
+        num_voxels=arr((), np.int32),
+        to_voxel=arr((0,), np.int32),  # not tracked in batched mode
+        rep_point=arr((caps[0], 3), np.float32),
+        origin=arr((3,), np.int32),
+    )
+    return SparsePyramid(
+        levels=levels, conv1=conv1, same=same, down=down, up=up, grid=grid
+    )
+
+
+def tree_slice(buf: SparsePyramid, i: int) -> SparsePyramid:
+    """Slice batched buffers to one slot as writable views (no copies).
+
+    1-D leaves (the per-slot scalars like ``num``) become shape-(1,) views —
+    plain ``x[i]`` would return a scalar copy and writes would be lost."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x[i] if x.ndim > 1 else x[i : i + 1], buf
+    )
+
+
+def fill_pyramid_host(
+    points: np.ndarray,
+    voxel_size: float,
+    out: SparsePyramid,
+    conv1_kernel_size: int = 7,
+    num_levels: int = 4,
+) -> None:
+    """Fill preallocated pyramid buffers in place (buffers must start in
+    their pad state: keys=SENTINEL, tables=-1, mask=False)."""
+    pts = np.ascontiguousarray(points, np.float32)
+    to_voxel, rep, coords0 = voxelize_host(pts, voxel_size)
+    # shift to non-negative like the device path (irrelevant to maps, keeps
+    # coords comparable across backends)
+    origin = coords0.min(axis=0) if len(coords0) else np.zeros(3, np.int32)
+    coords0 = coords0 - origin
+
+    off3 = hypercube_offsets(3)
+    offc1 = hypercube_offsets(conv1_kernel_size)
+    caps = tuple(out.levels[l].keys.shape[0] for l in range(num_levels))
+
+    level_coords = [coords0]
+    for l in range(1, num_levels):
+        level_coords.append(unique_snapped_host(level_coords[-1], 2**l))
+    for l in range(num_levels):
+        level_coords[l] = level_coords[l][: caps[l]]
+
+    for l in range(num_levels):
+        c = level_coords[l]
+        step = 2**l
+        n = len(c)
+        lvl = out.levels[l]
+        lvl.keys[:n] = (
+            c[:, 0].astype(np.int64) * (1 << 20)
+            + c[:, 1].astype(np.int64) * (1 << 10)
+            + c[:, 2].astype(np.int64)
+        ).astype(np.int32)
+        lvl.coords[:n] = c
+        lvl.mask[:n] = True
+        lvl.mask[n:] = False  # clear stale rows on buffer reuse; stale
+        lvl.num[...] = n      # table/coord rows are masked out downstream
+        neighbor_table_host(c, c, off3, step, out=out.same[l])
+    neighbor_table_host(level_coords[0], level_coords[0], offc1, 1, out=out.conv1)
+    for l in range(num_levels - 1):
+        step = 2**l
+        neighbor_table_host(
+            level_coords[l], level_coords[l + 1], off3, step, out=out.down[l]
+        )
+        neighbor_table_host(
+            level_coords[l + 1], level_coords[l], off3, step, out=out.up[l]
+        )
+
+    n0 = len(level_coords[0])
+    out.grid.rep_point[:n0] = pts[rep[:n0]]
+    out.grid.num_voxels[...] = n0
+    out.grid.origin[:] = origin
 
 
 def build_pyramid_host(
@@ -39,84 +157,11 @@ def build_pyramid_host(
     num_levels: int = 4,
 ) -> SparsePyramid:
     """Voxelize + build every kernel map of the UNet on host (numpy out)."""
+    buf = alloc_pyramid_buffers(capacities, conv1_kernel_size, None, num_levels)
+    fill_pyramid_host(points, voxel_size, buf, conv1_kernel_size, num_levels)
+    # attach to_voxel for single-cloud callers (train data paths)
     pts = np.ascontiguousarray(points, np.float32)
-    to_voxel, rep, coords0 = voxelize_host(pts, voxel_size)
-    # shift to non-negative like the device path (irrelevant to maps, keeps
-    # coords comparable across backends)
-    origin = coords0.min(axis=0) if len(coords0) else np.zeros(3, np.int32)
-    coords0 = coords0 - origin
-
-    off3 = hypercube_offsets(3)
-    offc1 = hypercube_offsets(conv1_kernel_size)
-
-    level_coords = [coords0]
-    for l in range(1, num_levels):
-        level_coords.append(unique_snapped_host(level_coords[-1], 2**l))
-
-    caps = capacities
-    levels, same, down, up = [], [], [], []
-    nums = [min(len(c), caps[l]) for l, c in enumerate(level_coords)]
-    for l in range(num_levels):
-        c = level_coords[l][: nums[l]]
-        level_coords[l] = c
-    for l in range(num_levels):
-        c = level_coords[l]
-        step = 2**l
-        levels.append(
-            SparseLevel(
-                keys=_pad_rows(
-                    (c[:, 0].astype(np.int64) * (1 << 20)
-                     + c[:, 1].astype(np.int64) * (1 << 10)
-                     + c[:, 2].astype(np.int64)).astype(np.int32),
-                    caps[l], 2**31 - 1,
-                ),
-                coords=_pad_rows(c, caps[l]),
-                mask=_pad_rows(np.ones(len(c), bool), caps[l], False),
-                num=np.int32(len(c)),
-            )
-        )
-        nt = neighbor_table_host(c, c, off3, step)
-        same.append(_pad_rows(nt, caps[l], -1))
-    conv1 = _pad_rows(
-        neighbor_table_host(level_coords[0], level_coords[0], offc1, 1),
-        caps[0], -1,
-    )
-    for l in range(num_levels - 1):
-        step = 2**l
-        down.append(
-            _pad_rows(
-                neighbor_table_host(
-                    level_coords[l], level_coords[l + 1], off3, step
-                ),
-                caps[l + 1], -1,
-            )
-        )
-        up.append(
-            _pad_rows(
-                neighbor_table_host(
-                    level_coords[l + 1], level_coords[l], off3, step
-                ),
-                caps[l], -1,
-            )
-        )
-
-    n0 = len(level_coords[0])
-    rep_pts = _pad_rows(pts[rep[:n0]], caps[0])
-    tv = np.where(to_voxel < caps[0], to_voxel, -1).astype(np.int32)
-    grid = VoxelGrid(
-        keys=levels[0].keys,
-        coords=levels[0].coords,
-        mask=levels[0].mask,
-        num_voxels=np.int32(n0),
-        to_voxel=tv,
-        rep_point=rep_pts,
-        origin=origin.astype(np.int32),
-    )
-    return SparsePyramid(
-        levels=tuple(levels),
-        conv1=conv1,
-        same=tuple(same),
-        down=tuple(down),
-        up=tuple(up),
-        grid=grid,
-    )
+    to_voxel, _, _ = voxelize_host(pts, voxel_size)
+    cap0 = capacities[0]
+    tv = np.where(to_voxel < cap0, to_voxel, -1).astype(np.int32)
+    return buf._replace(grid=buf.grid._replace(to_voxel=tv))

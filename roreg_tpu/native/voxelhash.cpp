@@ -240,26 +240,76 @@ int64_t unique_snapped(const int32_t* coords, int64_t n, int32_t stride,
 // Kernel map: for each dst coord and each of k offsets (scaled by step),
 // the src row index or -1. The ME kernel-map equivalent
 // (src/coordinate_map_manager.cpp kernel_map), host-side.
+//
+// Two strategies, auto-selected: a dense bounding-box grid (direct O(1)
+// loads, cache-friendly — wins for the 7^3 first-conv region) when the
+// bbox volume is modest, else open-addressing hash probes.
 void neighbor_table(const int32_t* src_coords, int64_t n_src,
                     const int32_t* dst_coords, int64_t n_dst,
                     const int32_t* offsets, int64_t k, int32_t step,
                     int32_t* out) {
-  HashMap map(n_src);
-  int32_t next = 0;
+  if (n_src == 0 || n_dst == 0) {
+    for (int64_t i = 0; i < n_dst * k; ++i) out[i] = -1;
+    return;
+  }
+  // Column structure: hash (x, y) -> column with a dense z-array of rows.
+  // A K^3 hypercube region then needs only K^2 hash probes per dst voxel
+  // plus K direct z loads each — the hash stays cache-resident and the
+  // z loads are sequential.
+  const uint64_t OFF = 1u << 20;
+  auto packxy = [OFF](int32_t x, int32_t y) {
+    return ((uint64_t)(x + OFF) << 21) | (uint64_t)(y + OFF);
+  };
+
+  HashMap cols(n_src);
+  int32_t ncols = 0;
+  std::vector<int32_t> col_of(n_src);
   for (int64_t i = 0; i < n_src; ++i) {
     bool ins;
-    map.get_or_insert(
-        pack(src_coords[i * 3], src_coords[i * 3 + 1], src_coords[i * 3 + 2]),
-        next, &ins);
-    if (ins) ++next;
+    col_of[i] =
+        cols.get_or_insert(packxy(src_coords[i * 3], src_coords[i * 3 + 1]),
+                           ncols, &ins);
+    if (ins) ++ncols;
   }
+  std::vector<int32_t> zmin(ncols, INT32_MAX), zmax(ncols, INT32_MIN);
+  for (int64_t i = 0; i < n_src; ++i) {
+    int32_t z = src_coords[i * 3 + 2];
+    int32_t c = col_of[i];
+    if (z < zmin[c]) zmin[c] = z;
+    if (z > zmax[c]) zmax[c] = z;
+  }
+  std::vector<int64_t> col_off(ncols + 1, 0);
+  for (int32_t c = 0; c < ncols; ++c)
+    col_off[c + 1] = col_off[c] + (zmax[c] - zmin[c] + 1);
+  std::vector<int32_t> zrows((size_t)col_off[ncols], -1);
+  for (int64_t i = 0; i < n_src; ++i) {
+    int32_t c = col_of[i];
+    zrows[col_off[c] + (src_coords[i * 3 + 2] - zmin[c])] = (int32_t)i;
+  }
+
+  // group offsets by (ox, oy): find each column once, then walk its oz list
+  std::vector<int64_t> order(k);
+  for (int64_t j = 0; j < k; ++j) order[j] = j;
+  // offsets from hypercube_offsets are already (x, y)-major; rely on that
   for (int64_t d = 0; d < n_dst; ++d) {
-    int32_t cx = dst_coords[d * 3], cy = dst_coords[d * 3 + 1],
-            cz = dst_coords[d * 3 + 2];
-    for (int64_t j = 0; j < k; ++j) {
-      out[d * k + j] = map.find(pack(cx + offsets[j * 3] * step,
-                                     cy + offsets[j * 3 + 1] * step,
-                                     cz + offsets[j * 3 + 2] * step));
+    const int32_t cx = dst_coords[d * 3], cy = dst_coords[d * 3 + 1],
+                  cz = dst_coords[d * 3 + 2];
+    int64_t j = 0;
+    while (j < k) {
+      const int32_t ox = offsets[j * 3], oy = offsets[j * 3 + 1];
+      const int32_t qv =
+          cols.find(packxy(cx + ox * step, cy + oy * step));
+      // consume the run of offsets sharing (ox, oy)
+      do {
+        int32_t r = -1;
+        if (qv >= 0) {
+          const int32_t zq = cz + offsets[j * 3 + 2] * step;
+          if (zq >= zmin[qv] && zq <= zmax[qv])
+            r = zrows[col_off[qv] + (zq - zmin[qv])];
+        }
+        out[d * k + j] = r;
+        ++j;
+      } while (j < k && offsets[j * 3] == ox && offsets[j * 3 + 1] == oy);
     }
   }
 }

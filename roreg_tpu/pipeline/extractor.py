@@ -131,9 +131,15 @@ def extract_group_features_hostmaps(
     the MinkowskiEngine split (host CoordinateMapManager, device GEMMs),
     done TPU-style. points/keypoints are host numpy arrays.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
-    from roreg_tpu.native.pyramid import build_pyramid_host
+    from roreg_tpu.native.pyramid import (
+        alloc_pyramid_buffers,
+        fill_pyramid_host,
+        tree_slice,
+    )
 
     group = get_group(cfg.group_size)
     rots = group.rotations.astype(np.float32)
@@ -144,23 +150,41 @@ def extract_group_features_hostmaps(
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)
 
+    # double-buffered preallocated chunk pyramids: build chunk i+1 on host
+    # threads (ctypes releases the GIL) while the device runs chunk i
+    bufs = [
+        alloc_pyramid_buffers(cfg.capacities, cfg.conv1_kernel_size, chunk)
+        for _ in range(2)
+    ]
+    keys_bufs = [np.empty((chunk, kps.shape[0], 3), np.float32) for _ in range(2)]
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def build_chunk(c0, slot):
+        buf, kb = bufs[slot], keys_bufs[slot]
+
+        def one(gi):
+            R = rots[c0 + gi]
+            fill_pyramid_host(
+                pts @ R.T, cfg.voxel_size, tree_slice(buf, gi),
+                conv1_kernel_size=cfg.conv1_kernel_size,
+            )
+            kb[gi] = kps @ R.T
+
+        list(pool.map(one, range(chunk)))
+        return buf, kb
+
     outs = []
-    for c0 in range(0, g, chunk):
-        pyrs, keys_r = [], []
-        for gi in range(c0, c0 + chunk):
-            R = rots[gi]
-            pyrs.append(
-                build_pyramid_host(
-                    pts @ R.T, cfg.voxel_size, cfg.capacities,
-                    conv1_kernel_size=cfg.conv1_kernel_size,
-                )
-            )
-            keys_r.append(kps @ R.T)
-        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pyrs)
-        outs.append(
-            _backbone_chunk(
-                backbone_variables, stacked, jnp.asarray(np.stack(keys_r)), cfg
-            )
-        )
+    n_chunks = g // chunk
+    pending = build_chunk(0, 0)
+    for ci in range(n_chunks):
+        buf, kb = pending
+        # device_put copies host buffers synchronously; slot is free after
+        dev_pyr = jax.tree_util.tree_map(jnp.asarray, buf)
+        dev_keys = jnp.asarray(kb)
+        out = _backbone_chunk(backbone_variables, dev_pyr, dev_keys, cfg)
+        if ci + 1 < n_chunks:
+            pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)
+        outs.append(out)
+    pool.shutdown(wait=False)
     out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
     return jnp.transpose(out, (1, 0, 2))

@@ -25,6 +25,7 @@ def gather_conv(
     nbr: jnp.ndarray,
     weights: jnp.ndarray,
     k_chunk: int = 9,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """out[i] = sum_k feats[nbr[i, k]] @ weights[k], with -1 entries skipped.
 
@@ -47,11 +48,16 @@ def gather_conv(
         k += pad
     nbr_c = nbr.reshape(m, k // k_chunk, k_chunk).transpose(1, 0, 2)
     w_c = weights.reshape(k // k_chunk, k_chunk * cin, cout)
+    if compute_dtype is not None:
+        # bf16 gather+MXU with f32 accumulation: halves the HBM traffic of
+        # the gathered activations (the conv's bottleneck on TPU)
+        feats = feats.astype(compute_dtype)
+        w_c = w_c.astype(compute_dtype)
 
     def body(acc, inp):
         nb, w = inp  # (M, k_chunk), (k_chunk*C_in, C_out)
         g = jnp.take(feats, jnp.clip(nb, 0), axis=0)  # (M, k_chunk, C_in)
-        g = jnp.where((nb >= 0)[..., None], g, 0.0)
+        g = jnp.where((nb >= 0)[..., None], g, jnp.zeros((), g.dtype))
         acc = acc + jnp.dot(
             g.reshape(m, -1), w, preferred_element_type=jnp.float32
         )
