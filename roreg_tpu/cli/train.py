@@ -19,7 +19,7 @@ import os
 def get_parser():
     p = argparse.ArgumentParser(description="roreg_tpu training")
     p.add_argument("--component", required=True,
-                   choices=["GF", "RD", "RM", "ET"])
+                   choices=["GF", "RD", "RM", "ET", "backbone"])
     p.add_argument("--data_root", default="./data/origin_data")
     p.add_argument("--trainset", default="synthetic")
     p.add_argument("--checkpoint_dir", default="./checkpoints")
@@ -76,6 +76,33 @@ def main(argv=None):
         voxel_size=args.voxel_size, group_size=args.group_size,
         num_keypoints=1024,
     )
+
+    if comp == "backbone":
+        from roreg_tpu.train.backbone import (
+            backbone_pair_batches,
+            make_backbone_train_step,
+        )
+        from roreg_tpu.train.checkpoints import save_variables
+
+        scenes = _build_scenes(args)
+        rng = np.random.default_rng(args.seed + 1)
+        init_fn, step_fn = make_backbone_train_step(pcfg)
+        it = backbone_pair_batches(scenes, pcfg, rng)
+        batch = next(it)
+        state = init_fn(jax.random.PRNGKey(args.seed), batch)
+        steps = args.steps or 20000
+        for i in range(steps):
+            state, m = step_fn(state, batch)
+            if (i + 1) % 200 == 0:
+                print(f"step {i+1} loss {float(m['loss']):.4f} "
+                      f"pos {float(m['pos_dist']):.3f} neg {float(m['neg_dist']):.3f}")
+            batch = next(it)
+        save_variables(
+            os.path.join(args.checkpoint_dir, "backbone_variables"),
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+        )
+        print(json.dumps({"final_step": steps}))
+        return
     pipe = RegistrationPipeline(pcfg, {})
     pipe.init_variables(jax.random.PRNGKey(args.seed))
     pipe.variables.update(

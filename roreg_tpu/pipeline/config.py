@@ -22,6 +22,7 @@ class PipelineConfig:
     capacities: tuple[int, ...] = (32768, 16384, 8192, 4096)
     conv1_kernel_size: int = 7
     backbone_variant: str = "ResUNetBN2C"
+    backbone_compute_dtype: str | None = "bfloat16"  # conv gather+MXU dtype
 
     # how many of the 60 rotations run per jitted backbone pass
     group_chunk: int = 10

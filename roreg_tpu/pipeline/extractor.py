@@ -52,6 +52,7 @@ def make_backbone(cfg: PipelineConfig) -> ResUNet:
         in_channels=1,
         out_channels=32,
         conv1_kernel_size=cfg.conv1_kernel_size,
+        compute_dtype=cfg.backbone_compute_dtype,
     )
 
 

@@ -117,6 +117,7 @@ class SparseConv(nn.Module):
     kernel_volume: int
     use_bias: bool = False
     k_chunk: int = 9
+    compute_dtype: str | None = None  # e.g. "bfloat16" for inference
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask):
@@ -128,7 +129,8 @@ class SparseConv(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
-        y = gather_conv(feats, nbr, w, self.k_chunk)
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        y = gather_conv(feats, nbr, w, self.k_chunk, compute_dtype=cd)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b

@@ -33,13 +33,16 @@ class BasicBlock(nn.Module):
     """Pre-norm residual block == BasicBlockBN (residual_block.py:9-61)."""
 
     channels: int
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
-        y = SparseConv(self.channels, nbr.shape[1], name="conv1")(x, nbr, mask)
+        y = SparseConv(self.channels, nbr.shape[1], name="conv1",
+                       compute_dtype=self.compute_dtype)(x, nbr, mask)
         y = MaskedBatchNorm(name="norm1")(y, mask, use_running_average=not train)
         y = nn.relu(y)
-        y = SparseConv(self.channels, nbr.shape[1], name="conv2")(y, nbr, mask)
+        y = SparseConv(self.channels, nbr.shape[1], name="conv2",
+                       compute_dtype=self.compute_dtype)(y, nbr, mask)
         y = MaskedBatchNorm(name="norm2")(y, mask, use_running_average=not train)
         y = nn.relu(y + x)
         return jnp.where(mask[..., None], y, 0.0)
@@ -54,6 +57,7 @@ class ResUNet(nn.Module):
     conv1_kernel_size: int = 7
     normalize_feature: bool = True
     bn_momentum: float = 0.05
+    compute_dtype: str | None = None  # "bfloat16" halves conv HBM traffic
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, pyr: SparsePyramid, train: bool = False):
@@ -65,42 +69,42 @@ class ResUNet(nn.Module):
             return MaskedBatchNorm(momentum=self.bn_momentum, name=name)
 
         # ---------------- encoder ----------------
-        x = SparseConv(ch[0], kv1, name="conv1")(feats, pyr.conv1, masks[0])
+        x = SparseConv(ch[0], kv1, name="conv1", compute_dtype=self.compute_dtype)(feats, pyr.conv1, masks[0])
         x = bn("norm1")(x, masks[0], use_running_average=not train)
-        out_s1 = BasicBlock(ch[0], name="block1")(x, pyr.same[0], masks[0], train)
+        out_s1 = BasicBlock(ch[0], self.compute_dtype, name="block1")(x, pyr.same[0], masks[0], train)
         x = nn.relu(out_s1)
 
-        x = SparseConv(ch[1], 27, name="conv2")(x, pyr.down[0], masks[1])
+        x = SparseConv(ch[1], 27, name="conv2", compute_dtype=self.compute_dtype)(x, pyr.down[0], masks[1])
         x = bn("norm2")(x, masks[1], use_running_average=not train)
-        out_s2 = BasicBlock(ch[1], name="block2")(x, pyr.same[1], masks[1], train)
+        out_s2 = BasicBlock(ch[1], self.compute_dtype, name="block2")(x, pyr.same[1], masks[1], train)
         x = nn.relu(out_s2)
 
-        x = SparseConv(ch[2], 27, name="conv3")(x, pyr.down[1], masks[2])
+        x = SparseConv(ch[2], 27, name="conv3", compute_dtype=self.compute_dtype)(x, pyr.down[1], masks[2])
         x = bn("norm3")(x, masks[2], use_running_average=not train)
-        out_s4 = BasicBlock(ch[2], name="block3")(x, pyr.same[2], masks[2], train)
+        out_s4 = BasicBlock(ch[2], self.compute_dtype, name="block3")(x, pyr.same[2], masks[2], train)
         x = nn.relu(out_s4)
 
-        x = SparseConv(ch[3], 27, name="conv4")(x, pyr.down[2], masks[3])
+        x = SparseConv(ch[3], 27, name="conv4", compute_dtype=self.compute_dtype)(x, pyr.down[2], masks[3])
         x = bn("norm4")(x, masks[3], use_running_average=not train)
-        out_s8 = BasicBlock(ch[3], name="block4")(x, pyr.same[3], masks[3], train)
+        out_s8 = BasicBlock(ch[3], self.compute_dtype, name="block4")(x, pyr.same[3], masks[3], train)
         x = nn.relu(out_s8)
 
         # ---------------- decoder ----------------
-        x = SparseConv(tr[3], 27, name="conv4_tr")(x, pyr.up[2], masks[2])
+        x = SparseConv(tr[3], 27, name="conv4_tr", compute_dtype=self.compute_dtype)(x, pyr.up[2], masks[2])
         x = bn("norm4_tr")(x, masks[2], use_running_average=not train)
-        x = BasicBlock(tr[3], name="block4_tr")(x, pyr.same[2], masks[2], train)
+        x = BasicBlock(tr[3], self.compute_dtype, name="block4_tr")(x, pyr.same[2], masks[2], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s4], axis=-1)
-        x = SparseConv(tr[2], 27, name="conv3_tr")(x, pyr.up[1], masks[1])
+        x = SparseConv(tr[2], 27, name="conv3_tr", compute_dtype=self.compute_dtype)(x, pyr.up[1], masks[1])
         x = bn("norm3_tr")(x, masks[1], use_running_average=not train)
-        x = BasicBlock(tr[2], name="block3_tr")(x, pyr.same[1], masks[1], train)
+        x = BasicBlock(tr[2], self.compute_dtype, name="block3_tr")(x, pyr.same[1], masks[1], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s2], axis=-1)
-        x = SparseConv(tr[1], 27, name="conv2_tr")(x, pyr.up[0], masks[0])
+        x = SparseConv(tr[1], 27, name="conv2_tr", compute_dtype=self.compute_dtype)(x, pyr.up[0], masks[0])
         x = bn("norm2_tr")(x, masks[0], use_running_average=not train)
-        x = BasicBlock(tr[1], name="block2_tr")(x, pyr.same[0], masks[0], train)
+        x = BasicBlock(tr[1], self.compute_dtype, name="block2_tr")(x, pyr.same[0], masks[0], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s1], axis=-1)
@@ -109,5 +113,11 @@ class ResUNet(nn.Module):
         x = nn.Dense(self.out_channels, use_bias=True, name="final")(x)
 
         if self.normalize_feature:
-            x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+            # eps inside the sqrt: jnp.linalg.norm has a NaN gradient at the
+            # all-zero pad rows, which poisons backbone training
+            import jax
+
+            x = x * jax.lax.rsqrt(
+                jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12
+            )
         return jnp.where(masks[0][..., None], x, 0.0)

@@ -1,0 +1,175 @@
+"""FCGF backbone training: hardest-contrastive metric learning.
+
+The reference *ships* its FCGF backbone as an opaque checkpoint
+(``checkpoints/FCGF/backbone/best_val_checkpoint.pth``, stripped from the
+repo — ``.MISSING_LARGE_BLOBS``) and contains no training code for it; a
+complete framework must be able to produce that backbone. This implements
+FCGF's published hardest-contrastive objective (Choy et al., ICCV 2019)
+over correspondence pairs between two voxelized fragments, masked for
+static shapes, as one jitted train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from roreg_tpu.pipeline.config import PipelineConfig
+from roreg_tpu.pipeline.extractor import make_backbone
+
+__all__ = ["hardest_contrastive_loss", "make_backbone_train_step", "backbone_pair_batches"]
+
+_BIG = 1e9
+
+
+def hardest_contrastive_loss(
+    f0: jnp.ndarray,
+    f1: jnp.ndarray,
+    pair_mask: jnp.ndarray,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+) -> tuple[jnp.ndarray, dict]:
+    """FCGF hardest-contrastive on matched feature pairs (P, C) + mask (P,).
+
+    Positives: matched rows. Negatives: for each anchor, the hardest
+    non-matching row of the other side among the valid pairs.
+    """
+    d2 = jnp.sum((f0[:, None, :] - f1[None, :, :]) ** 2, axis=-1)
+    d = jnp.sqrt(jnp.clip(d2, 1e-12))
+    p = d.shape[0]
+    eye = jnp.eye(p, dtype=bool)
+    valid = pair_mask[:, None] & pair_mask[None, :]
+
+    pos = jnp.diagonal(d)
+    pos_loss = jnp.where(pair_mask, jnp.clip(pos - pos_margin, 0.0) ** 2, 0.0)
+    denom = jnp.clip(jnp.sum(pair_mask), 1.0)
+    pos_loss = jnp.sum(pos_loss) / denom
+
+    neg_d = jnp.where(valid & ~eye, d, _BIG)
+    hard0 = jnp.min(neg_d, axis=1)  # hardest f1 for each f0
+    hard1 = jnp.min(neg_d, axis=0)
+    neg0 = jnp.where(pair_mask, jnp.clip(neg_margin - hard0, 0.0) ** 2, 0.0)
+    neg1 = jnp.where(pair_mask, jnp.clip(neg_margin - hard1, 0.0) ** 2, 0.0)
+    neg_loss = 0.5 * (jnp.sum(neg0) + jnp.sum(neg1)) / denom
+
+    loss = pos_loss + neg_loss
+    return loss, {
+        "pos_loss": pos_loss,
+        "neg_loss": neg_loss,
+        "pos_dist": jnp.sum(jnp.where(pair_mask, pos, 0.0)) / denom,
+        "neg_dist": jnp.sum(jnp.where(pair_mask, hard0, 0.0)) / denom,
+    }
+
+
+def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1):
+    """Returns (init_fn, step_fn) for SGD-momentum FCGF training
+    (FCGF trains with SGD lr=0.1 + exp decay 0.99)."""
+    net = make_backbone(cfg)
+    tx = optax.chain(
+        optax.sgd(optax.exponential_decay(lr, 1000, 0.99), momentum=0.8),
+    )
+    feats_in = None
+
+    def fwd(params, bstats, batch, train):
+        fin = jnp.ones((cfg.capacities[0], 1), jnp.float32)
+        variables = {"params": params, "batch_stats": bstats}
+        out0, m0 = net.apply(
+            variables, fin, batch["pyr0"], train, mutable=["batch_stats"]
+        )
+        out1, m1 = net.apply(
+            {"params": params, "batch_stats": m0["batch_stats"]},
+            fin, batch["pyr1"], train, mutable=["batch_stats"],
+        )
+        f0 = out0[batch["pairs"][:, 0]]
+        f1 = out1[batch["pairs"][:, 1]]
+        loss, aux = hardest_contrastive_loss(f0, f1, batch["pair_mask"])
+        return loss, (m1["batch_stats"], aux)
+
+    def init_fn(key, batch):
+        fin = jnp.ones((cfg.capacities[0], 1), jnp.float32)
+        variables = net.init(key, fin, batch["pyr0"], True)
+        return {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "opt_state": tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    @jax.jit
+    def step_fn(state, batch):
+        (loss, (bstats, aux)), grads = jax.value_and_grad(
+            lambda p: fwd(p, state["batch_stats"], batch, True), has_aux=True
+        )(state["params"])
+        updates, opt = tx.update(grads, state["opt_state"], state["params"])
+        return {
+            "params": optax.apply_updates(state["params"], updates),
+            "batch_stats": bstats,
+            "opt_state": opt,
+            "step": state["step"] + 1,
+        }, {"loss": loss, **aux}
+
+    return init_fn, step_fn
+
+
+def backbone_pair_batches(
+    scenes,
+    cfg: PipelineConfig,
+    rng: np.random.Generator,
+    max_pairs: int = 1024,
+    match_dist: float | None = None,
+) -> Iterator[dict]:
+    """Fragment-pair batches: host-built pyramids + voxel correspondences.
+
+    Correspondences = mutual-NN voxel representative points under gt within
+    ``match_dist`` (default voxel_size), via the native pairing kernel.
+    """
+    import jax.numpy as jnp
+
+    from roreg_tpu.native.lib import mutual_pairs_host
+    from roreg_tpu.native.pyramid import build_pyramid_host
+
+    match_dist = match_dist or cfg.voxel_size
+    pair_list = [(ds, p) for ds in scenes for p in ds.pair_ids]
+    while True:
+        ds, (id0, id1) = pair_list[rng.integers(len(pair_list))]
+        T = ds.get_transform(id0, id1)
+        pc0 = ds.get_pc(id0).astype(np.float32)
+        pc1 = ds.get_pc(id1).astype(np.float32)
+        # random rotation augmentation (FCGF trains with random rotations)
+        from roreg_tpu.data.synthetic import _random_rotation
+
+        R0 = _random_rotation(rng).astype(np.float32)
+        R1 = _random_rotation(rng).astype(np.float32)
+        pyr0 = build_pyramid_host(
+            pc0 @ R0.T, cfg.voxel_size, cfg.capacities, cfg.conv1_kernel_size
+        )
+        pyr1 = build_pyramid_host(
+            pc1 @ R1.T, cfg.voxel_size, cfg.capacities, cfg.conv1_kernel_size
+        )
+        n0 = int(pyr0.grid.num_voxels)
+        n1 = int(pyr1.grid.num_voxels)
+        rep0 = np.asarray(pyr0.grid.rep_point)[:n0] @ R0  # back to world
+        rep1 = np.asarray(pyr1.grid.rep_point)[:n1] @ R1
+        # move rep1 into cloud0 frame: pts0 = T pts1
+        rep1_in0 = rep1 @ T[:3, :3].T + T[:3, 3]
+        pairs = mutual_pairs_host(rep1_in0, rep0, match_dist)  # (P, 2) [i1, i0]
+        if len(pairs) < 32:
+            continue
+        sel = rng.permutation(len(pairs))[:max_pairs]
+        pairs = pairs[sel]
+        pad = max_pairs - len(pairs)
+        pair_arr = np.concatenate(
+            [pairs[:, ::-1], np.zeros((pad, 2), np.int32)], 0
+        )  # -> [i0, i1]
+        mask = np.arange(max_pairs) < len(pairs)
+        yield {
+            "pyr0": jax.tree_util.tree_map(jnp.asarray, pyr0),
+            "pyr1": jax.tree_util.tree_map(jnp.asarray, pyr1),
+            "pairs": jnp.asarray(pair_arr.astype(np.int32)),
+            "pair_mask": jnp.asarray(mask),
+        }
