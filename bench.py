@@ -118,13 +118,21 @@ def main():
         )
         return T
 
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
     # ---- warmup / compile on cloud 0 + pair (0, 1) ----
     t_compile0 = time.perf_counter()
+    log("compiling describe()...")
     desc = [describe(*clouds[0])]
     jax.block_until_ready(desc[0][1])
+    log("describe compiled; compiling pair stages...")
     T = run_pair(desc[0], desc[0], clouds[0][1], clouds[0][1], jax.random.PRNGKey(9))
     jax.block_until_ready(T)
     compile_s = time.perf_counter() - t_compile0
+    log(f"warmup done in {compile_s:.0f}s")
 
     # ---- timed: describe remaining clouds + register all pairs ----
     t0 = time.perf_counter()

@@ -145,6 +145,81 @@ def et_apply(
 # --------------------------------------------------------------------------
 
 
+def pair_stage(
+    variables: dict,
+    cfg: PipelineConfig,
+    rng: jax.Array,
+    bb0_s, bb1_s, gf0_s, gf1_s, k0_s, k1_s,
+):
+    """Match + estimate on pre-sampled keypoint sets (keynum rows each).
+
+    The post-sampling half of the pipeline as one pure function — reused by
+    the single-pair driver and vmapped/sharded for pair-parallel eval
+    (dist/eval.py). All shapes static in keynum.
+    """
+    group = get_group(cfg.group_size)
+    if cfg.use_rm:
+        net = RotationCoherenceMatcher(
+            group,
+            coor_norm_step=cfg.coor_norm_step,
+            sinkhorn_iters=cfg.sinkhorn_iters,
+        )
+        out = net.apply(
+            variables["rm"],
+            gf1_s[None], gf0_s[None], k1_s[None], k0_s[None],
+            jnp.ones((1, gf1_s.shape[0]), bool),
+            jnp.ones((1, gf0_s.shape[0]), bool),
+        )
+        matches0 = out["matches0"][0]
+        mscores = out["matching_scores0"][0]
+        mvalid = matches0 >= 0
+        m0 = jnp.where(mvalid, matches0, 0)
+        m1 = jnp.arange(gf1_s.shape[0])
+        est_valid = top_match_subset(mscores, mvalid, cfg.match_n, cfg.keynum)
+    else:
+        inv0 = jnp.mean(gf0_s, axis=1)
+        inv1 = jnp.mean(gf1_s, axis=1)
+        inv0 = inv0 / (jnp.linalg.norm(inv0, axis=-1, keepdims=True) + 1e-5)
+        inv1 = inv1 / (jnp.linalg.norm(inv1, axis=-1, keepdims=True) + 1e-5)
+        from roreg_tpu.core.knn import mutual_nn as _mutual
+
+        nn01, mut = _mutual(inv0, inv1)
+        m0 = jnp.arange(cfg.keynum)
+        m1 = nn01
+        mvalid = mut
+        mscores = jnp.ones((cfg.keynum,), jnp.float32)
+        est_valid = mvalid
+
+    keys_m0, keys_m1 = k0_s[m0], k1_s[m1]
+    dr = est.dr_index(gf0_s[m0], gf1_s[m1], group.cayley)
+    if cfg.estimator == "yohoo":
+        net_et = EquivariantTransformer(group)
+        quats = net_et.apply(
+            variables["et"], bb1_s[m1], bb0_s[m0], gf1_s[m1], gf0_s[m0],
+            dr, False, True,
+        )
+        T_hyp = est.local_transforms(quats, dr, keys_m0, keys_m1, group.rotations)
+        T, overlap = est.yohoo_ransac(
+            rng, T_hyp, est_valid, keys_m0, keys_m1, mscores, est_valid,
+            cfg.ransac_ird, cfg.max_iter,
+        )
+    else:
+        T, overlap = est.yohoc_ransac(
+            rng, dr, keys_m0, keys_m1, mscores, est_valid,
+            cfg.ransac_ird, cfg.max_iter, cfg.group_size,
+        )
+    return {
+        "transform": T,
+        "overlap": overlap,
+        "m0": m0,
+        "m1": m1,
+        "match_valid": mvalid,
+        "match_scores": mscores,
+        "est_valid": est_valid,
+        "dr_index": dr,
+    }
+
+
 @dataclass
 class RegistrationPipeline:
     """Holds trained variables for all five networks and runs pairs.
