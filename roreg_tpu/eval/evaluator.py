@@ -31,6 +31,11 @@ class Evaluator:
     cache_dir: str | None = None  # optional npz spill dir for descriptors
     results_log: str | None = None
 
+    def __post_init__(self):
+        from roreg_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
+
     def describe_cloud(self, ds: ThreeDMatchDataset, pc_id):
         """-> (bb (K,G,32), gf (K,G,32), det (K,)) with optional disk cache."""
         cache_fn = None
@@ -46,8 +51,11 @@ class Evaluator:
                 )
         pc = jnp.asarray(ds.get_pc(pc_id).astype(np.float32))
         kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
-        bb, gf = self.pipeline.describe(pc, jnp.ones(pc.shape[0], bool), kp)
-        det = self.pipeline.detect(gf, jnp.ones(kp.shape[0], bool))
+        with self.timer.stage("describe"):
+            bb, gf = self.pipeline.describe(pc, jnp.ones(pc.shape[0], bool), kp)
+        with self.timer.stage("detect", block_on=None):
+            det = self.pipeline.detect(gf, jnp.ones(kp.shape[0], bool))
+        self.timer.block("describe_wait", (bb, gf, det))
         if cache_fn:
             os.makedirs(os.path.dirname(cache_fn), exist_ok=True)
             np.savez(
@@ -129,6 +137,7 @@ class Evaluator:
                     cfg.ransac_ird, cfg.max_iter, cfg.group_size,
                 )
 
+            self.timer.block("match_estimate", T)
             T_np = np.asarray(T)
             T_gt = ds.get_transform(id0, id1)
             fmr, ir = fmr_ir(
@@ -194,6 +203,7 @@ class Evaluator:
             "rr_predator": rr_predator,
             "pairs": n_pairs,
             "pairs_per_sec": n_pairs / max(elapsed, 1e-9),
+            "stage_times": self.timer.summary(),
         }
         if self.results_log:
             cfg = self.pipeline.cfg

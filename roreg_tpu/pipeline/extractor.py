@@ -179,9 +179,12 @@ def extract_group_features_hostmaps(
     pending = build_chunk(0, 0)
     for ci in range(n_chunks):
         buf, kb = pending
-        # device_put copies host buffers synchronously; slot is free after
-        dev_pyr = jax.tree_util.tree_map(jnp.asarray, buf)
-        dev_keys = jnp.asarray(kb)
+        # jnp.array(copy=True): jnp.asarray may ALIAS the numpy buffer
+        # (zero-copy on the CPU backend), and the double-buffered slot is
+        # refilled while the device still reads it — explicit copies keep
+        # the in-flight data immutable
+        dev_pyr = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), buf)
+        dev_keys = jnp.array(kb, copy=True)
         out = _backbone_chunk(backbone_variables, dev_pyr, dev_keys, cfg)
         if ci + 1 < n_chunks:
             pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)

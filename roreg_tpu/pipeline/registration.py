@@ -231,28 +231,57 @@ class RegistrationPipeline:
     variables: dict[str, Any]
 
     def init_variables(self, key: jax.Array) -> dict[str, Any]:
-        """Random-init all networks (shapes from cfg)."""
+        """Random-init all networks (shapes from cfg).
+
+        Runs on the CPU backend: initialization is shape bookkeeping, and
+        compiling the full forward graphs on a (possibly remote) TPU just to
+        sample initial weights costs minutes. Parameters move to the
+        accelerator lazily on first use.
+        """
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self._init_variables_impl(key)
+        return self._init_variables_impl(key)
+
+    def _init_variables_impl(self, key: jax.Array) -> dict[str, Any]:
         cfg = self.cfg
         group = get_group(cfg.group_size)
         ks = jax.random.split(key, 5)
         backbone = make_backbone(cfg)
         from roreg_tpu.sparse.kernel_map import build_pyramid
 
-        pts = jax.random.uniform(ks[0], (512, 3)) * 2.0
-        pyr = build_pyramid(
-            pts,
-            jnp.ones((512,), bool),
-            cfg.voxel_size * 4,
-            cfg.capacities,
-            conv1_kernel_size=cfg.conv1_kernel_size,
+        # init under jit: eager init dispatches hundreds of tiny ops, which
+        # is pathological over a tunneled TPU
+        import numpy as np
+
+        rng_np = np.random.default_rng(0)
+        pts = jnp.asarray(rng_np.uniform(0, 2, (512, 3)).astype(np.float32))
+        from roreg_tpu.native.pyramid import build_pyramid_host
+
+        pyr = jax.tree_util.tree_map(
+            jnp.asarray,
+            build_pyramid_host(
+                np.asarray(pts), cfg.voxel_size * 4, cfg.capacities,
+                conv1_kernel_size=cfg.conv1_kernel_size,
+            ),
         )
         feats_in = jnp.ones((cfg.capacities[0], 1), jnp.float32)
-        v_bb = backbone.init(ks[0], feats_in, pyr, False)
+        v_bb = jax.jit(backbone.init, static_argnames=("train",))(
+            ks[0], feats_in, pyr, train=False
+        )
         g = cfg.group_size
         f = jnp.zeros((2, g, 32))
-        v_gf = GroupFeatNetwork(group).init(ks[1], f, False)
-        v_rd = RotationDetector(group).init(ks[2], f, False)
-        v_rm = RotationCoherenceMatcher(group).init(
+        v_gf = jax.jit(GroupFeatNetwork(group).init, static_argnums=(2,))(
+            ks[1], f, False
+        )
+        v_rd = jax.jit(RotationDetector(group).init, static_argnums=(2,))(
+            ks[2], f, False
+        )
+        v_rm = jax.jit(RotationCoherenceMatcher(group).init)(
             ks[3],
             jnp.zeros((1, 8, g, 32)),
             jnp.zeros((1, 8, g, 32)),
@@ -261,7 +290,7 @@ class RegistrationPipeline:
             jnp.ones((1, 8), bool),
             jnp.ones((1, 8), bool),
         )
-        v_et = EquivariantTransformer(group).init(
+        v_et = jax.jit(EquivariantTransformer(group).init, static_argnums=(6,))(
             ks[4], f, f, f, f, jnp.zeros((2,), jnp.int32), False
         )
         self.variables = {

@@ -33,11 +33,11 @@ def test_train_then_register(tmp_path):
     cfg = PipelineConfig(
         voxel_size=0.06, group_size=12,
         capacities=(4096, 2048, 1024, 512), conv1_kernel_size=3,
-        group_chunk=4, num_keypoints=192, keynum=192,
-        max_iter=200, ransac_ird=0.09, backbone_compute_dtype=None,
+        group_chunk=4, num_keypoints=1024, keynum=1024,
+        max_iter=300, ransac_ird=0.1, backbone_compute_dtype=None,
     )
     scene = make_synthetic_scene(
-        str(tmp_path / "s0"), rng, num_clouds=2, points_per_cloud=6000,
+        str(tmp_path / "s0"), rng, num_clouds=2, points_per_cloud=8000,
         num_keypoints=cfg.num_keypoints, overlap=0.85, max_angle_deg=25.0,
     )
 
@@ -46,7 +46,7 @@ def test_train_then_register(tmp_path):
     bb_it = backbone_pair_batches([scene], cfg, rng, max_pairs=384)
     batch = next(bb_it)
     bb_state = bb_init(jax.random.PRNGKey(0), batch)
-    for i in range(30):
+    for i in range(50):
         bb_state, bm = bb_step(bb_state, batch)
         if i % 2 == 1:
             batch = next(bb_it)
@@ -64,7 +64,7 @@ def test_train_then_register(tmp_path):
     b = next(gf_it)
     gf_state = gf_init(jax.random.PRNGKey(1), b)
     accs = []
-    for i in range(60):
+    for i in range(80):
         gf_state, gm = gf_step(gf_state, b)
         accs.append(float(gm["dr_acc"]))
         if i % 2 == 1:
