@@ -138,6 +138,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(1, n_clouds):
         desc.append(describe(*clouds[i]))
+        jax.block_until_ready(desc[-1][1])
+        log(f"describe cloud {i}: total {time.perf_counter() - t0:.1f}s")
+    t_desc = time.perf_counter() - t0
     Ts = []
     for k, (i, j) in enumerate(pairs):
         Ts.append(
@@ -146,6 +149,8 @@ def main():
         )
     jax.block_until_ready(Ts)
     elapsed = time.perf_counter() - t0
+    log(f"describe {t_desc:.1f}s total, pair stages {elapsed - t_desc:.1f}s "
+        f"({(elapsed - t_desc) / len(pairs):.2f}s/pair)")
 
     # amortization: timed section covered (n_clouds - 1) describes +
     # len(pairs) pair stages; scale the describe cost to per-pair the same
@@ -160,6 +165,8 @@ def main():
             "n_clouds": n_clouds,
             "n_pairs": len(pairs),
             "elapsed_s": round(elapsed, 3),
+            "describe_s": round(t_desc, 3),
+            "pair_stage_s": round(elapsed - t_desc, 3),
             "compile_s": round(compile_s, 1),
             "keynum": cfg.keynum,
             "max_iter": cfg.max_iter,
