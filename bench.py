@@ -42,12 +42,9 @@ def main():
     from roreg_tpu.pipeline.registration import (
         RegistrationPipeline,
         gf_apply,
-        rm_apply,
-        et_apply,
+        register_pair_from_descriptors,
     )
     from roreg_tpu.pipeline.extractor import extract as extract_group_features
-    from roreg_tpu.pipeline import estimator as est
-    from roreg_tpu.pipeline.matcher import nms_sample, top_match_subset
     from roreg_tpu.core.group import get_group
 
     cfg = PipelineConfig(
@@ -96,27 +93,10 @@ def main():
     def run_pair(desc0, desc1, kp0, kp1, key):
         bb0, gf0, det0 = desc0
         bb1, gf1, det1 = desc1
-        s0 = nms_sample(kp0, det0, jnp.ones(kp0.shape[0], bool), cfg.keynum, cfg.nms_k)
-        s1 = nms_sample(kp1, det1, jnp.ones(kp1.shape[0], bool), cfg.keynum, cfg.nms_k)
-        gf0_s, gf1_s = gf0[s0], gf1[s1]
-        k0_s, k1_s = kp0[s0], kp1[s1]
-        pair_in_s, mvalid, mscores = rm_apply(
-            pipe.variables["rm"], gf0_s, gf1_s, k0_s, k1_s, cfg
+        out = register_pair_from_descriptors(
+            pipe.variables, cfg, key, bb0, gf0, det0, kp0, bb1, gf1, det1, kp1
         )
-        m0, m1 = pair_in_s[:, 0], pair_in_s[:, 1]
-        keys_m0, keys_m1 = k0_s[m0], k1_s[m1]
-        ev = top_match_subset(mscores, mvalid, cfg.match_n, cfg.keynum)
-        dr = est.dr_index(gf0_s[m0], gf1_s[m1], group.cayley)
-        quats = et_apply(
-            pipe.variables["et"], bb0[s0][m0], bb1[s1][m1],
-            gf0_s[m0], gf1_s[m1], dr, cfg,
-        )
-        T_hyp = est.local_transforms(quats, dr, keys_m0, keys_m1, group.rotations)
-        T, ov = est.yohoo_ransac(
-            key, T_hyp, ev, keys_m0, keys_m1, mscores, ev,
-            cfg.ransac_ird, cfg.max_iter,
-        )
-        return T
+        return out["transform"]
 
     def log(msg):
         print(f"[bench +{time.perf_counter() - t_start:.0f}s] {msg}",

@@ -67,13 +67,8 @@ class Evaluator:
     def process_scene(self, ds: ThreeDMatchDataset, seed: int = 0) -> dict:
         """Register every pair of a scene; returns per-scene results."""
         cfg = self.pipeline.cfg
-        from roreg_tpu.core.group import get_group
-        from roreg_tpu.pipeline import estimator as est
-        from roreg_tpu.pipeline.matcher import nms_sample, top_match_subset
-        from roreg_tpu.pipeline.registration import et_apply, rm_apply
-        from roreg_tpu.core.knn import mutual_nn
+        from roreg_tpu.pipeline.registration import register_pair_from_descriptors
 
-        group = get_group(cfg.group_size)
         desc = {}
         for pc_id in ds.pc_ids:
             desc[pc_id] = self.describe_cloud(ds, pc_id)
@@ -86,62 +81,19 @@ class Evaluator:
             kp0 = jnp.asarray(ds.get_kps(id0).astype(np.float32))
             kp1 = jnp.asarray(ds.get_kps(id1).astype(np.float32))
             key = jax.random.PRNGKey(seed * 100003 + k)
-            ks, kr = jax.random.split(key)
 
-            ones0 = jnp.ones(kp0.shape[0], bool)
-            ones1 = jnp.ones(kp1.shape[0], bool)
-            if cfg.use_rd:
-                s0 = nms_sample(kp0, det0, ones0, cfg.keynum, cfg.nms_k)
-                s1 = nms_sample(kp1, det1, ones1, cfg.keynum, cfg.nms_k)
-            else:
-                k0_, k1_ = jax.random.split(ks)
-                s0 = jax.lax.top_k(jax.random.uniform(k0_, (kp0.shape[0],)), cfg.keynum)[1]
-                s1 = jax.lax.top_k(jax.random.uniform(k1_, (kp1.shape[0],)), cfg.keynum)[1]
-            gf0_s, gf1_s = gf0[s0], gf1[s1]
-            k0_s, k1_s = kp0[s0], kp1[s1]
-            if cfg.use_rm:
-                pair_in_s, mvalid, mscores = rm_apply(
-                    self.pipeline.variables["rm"], gf0_s, gf1_s, k0_s, k1_s, cfg
-                )
-                ev = top_match_subset(mscores, mvalid, cfg.match_n, cfg.keynum)
-            else:
-                inv0 = jnp.mean(gf0_s, axis=1)
-                inv1 = jnp.mean(gf1_s, axis=1)
-                nn01, mut = mutual_nn(
-                    inv0 / (jnp.linalg.norm(inv0, axis=-1, keepdims=True) + 1e-5),
-                    inv1 / (jnp.linalg.norm(inv1, axis=-1, keepdims=True) + 1e-5),
-                )
-                pair_in_s = jnp.stack(
-                    [jnp.arange(cfg.keynum), nn01], -1
-                ).astype(jnp.int32)
-                mvalid, mscores = mut, jnp.ones((cfg.keynum,), jnp.float32)
-                ev = mvalid
-            m0, m1 = pair_in_s[:, 0], pair_in_s[:, 1]
-            keys_m0, keys_m1 = k0_s[m0], k1_s[m1]
-            dr = est.dr_index(gf0_s[m0], gf1_s[m1], group.cayley)
-            if cfg.estimator == "yohoo":
-                quats = et_apply(
-                    self.pipeline.variables["et"], bb0[s0][m0], bb1[s1][m1],
-                    gf0_s[m0], gf1_s[m1], dr, cfg,
-                )
-                T_hyp = est.local_transforms(
-                    quats, dr, keys_m0, keys_m1, group.rotations
-                )
-                T, _ = est.yohoo_ransac(
-                    kr, T_hyp, ev, keys_m0, keys_m1, mscores, ev,
-                    cfg.ransac_ird, cfg.max_iter,
-                )
-            else:
-                T, _ = est.yohoc_ransac(
-                    kr, dr, keys_m0, keys_m1, mscores, ev,
-                    cfg.ransac_ird, cfg.max_iter, cfg.group_size,
-                )
-
+            out = register_pair_from_descriptors(
+                self.pipeline.variables, cfg, key,
+                bb0, gf0, det0, kp0, bb1, gf1, det1, kp1,
+            )
+            T = out["transform"]
             self.timer.block("match_estimate", T)
             T_np = np.asarray(T)
             T_gt = ds.get_transform(id0, id1)
+            keys_m0 = np.asarray(kp0[out["sample0"]][out["m0"]])
+            keys_m1 = np.asarray(kp1[out["sample1"]][out["m1"]])
             fmr, ir = fmr_ir(
-                np.asarray(keys_m0), np.asarray(keys_m1), np.asarray(ev),
+                keys_m0, keys_m1, np.asarray(out["est_valid"]),
                 T_gt, cfg.tau_1, cfg.tau_2,
             )
             rre, rte = registration_errors(T_np, T_gt)

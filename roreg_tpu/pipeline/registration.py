@@ -220,6 +220,41 @@ def pair_stage(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_pair_from_descriptors(
+    variables,
+    cfg: PipelineConfig,
+    rng: jax.Array,
+    bb0, gf0, det0, kp0,
+    bb1, gf1, det1, kp1,
+):
+    """One jit from full per-cloud descriptors to the transform: keypoint
+    sampling (NMS or random), feature gathers, matching, estimation.
+
+    Keeping this a single compiled program matters doubly on tunneled TPUs:
+    every eager indexing op between stages is a host round trip.
+    det* may be None when cfg.use_rd is False.
+    """
+    from roreg_tpu.pipeline.matcher import nms_sample
+
+    r_s0, r_s1, r_ransac = jax.random.split(rng, 3)
+    ones0 = jnp.ones(kp0.shape[0], bool)
+    ones1 = jnp.ones(kp1.shape[0], bool)
+    if cfg.use_rd:
+        s0 = nms_sample(kp0, det0, ones0, cfg.keynum, cfg.nms_k)
+        s1 = nms_sample(kp1, det1, ones1, cfg.keynum, cfg.nms_k)
+    else:
+        s0 = jax.lax.top_k(jax.random.uniform(r_s0, (kp0.shape[0],)), cfg.keynum)[1]
+        s1 = jax.lax.top_k(jax.random.uniform(r_s1, (kp1.shape[0],)), cfg.keynum)[1]
+    out = pair_stage(
+        variables, cfg, r_ransac,
+        bb0[s0], bb1[s1], gf0[s0], gf1[s1], kp0[s0], kp1[s1],
+    )
+    out["sample0"] = s0
+    out["sample1"] = s1
+    return out
+
+
 @dataclass
 class RegistrationPipeline:
     """Holds trained variables for all five networks and runs pairs.
