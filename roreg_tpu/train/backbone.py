@@ -91,14 +91,19 @@ def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1):
         return loss, (m1["batch_stats"], aux)
 
     def init_fn(key, batch):
-        fin = jnp.ones((cfg.capacities[0], 1), jnp.float32)
-        variables = net.init(key, fin, batch["pyr0"], True)
-        return {
-            "params": variables["params"],
-            "batch_stats": variables["batch_stats"],
-            "opt_state": tx.init(variables["params"]),
-            "step": jnp.zeros((), jnp.int32),
-        }
+        # init on the CPU backend: eager init over a tunneled TPU dispatches
+        # hundreds of tiny ops (minutes); params move to device on first use
+        from roreg_tpu.train.trainer import cpu_init_scope
+
+        with cpu_init_scope():
+            fin = jnp.ones((cfg.capacities[0], 1), jnp.float32)
+            variables = net.init(key, fin, batch["pyr0"], True)
+            return {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"]),
+                "step": jnp.zeros((), jnp.int32),
+            }
 
     @jax.jit
     def step_fn(state, batch):

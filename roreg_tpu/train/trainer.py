@@ -31,7 +31,22 @@ from roreg_tpu.models.rd import RotationDetector
 from roreg_tpu.models.rm import RotationCoherenceMatcher
 from roreg_tpu.train import losses as L
 
-__all__ = ["TrainConfig", "Trainer", "make_train_step", "name2metric"]
+__all__ = [
+    "TrainConfig", "Trainer", "make_train_step", "name2metric", "cpu_init_scope",
+]
+
+
+def cpu_init_scope():
+    """Context manager pinning computation to the CPU backend — used for
+    network/optimizer initialization, which is shape bookkeeping that would
+    otherwise dispatch eagerly over a (possibly tunneled) accelerator."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 
 @dataclass(frozen=True)
@@ -220,7 +235,13 @@ def make_train_step(cfg: TrainConfig, frozen: dict | None = None) -> tuple:
             "step": jnp.zeros((), jnp.int32),
         }
 
-    return init_fn, step_fn, (lambda p, b, batch: fwd(p, b, batch, False))
+    _raw_init = init_fn
+
+    def init_on_cpu(key, batch):
+        with cpu_init_scope():
+            return _raw_init(key, batch)
+
+    return init_on_cpu, step_fn, (lambda p, b, batch: fwd(p, b, batch, False))
 
 
 # --------------------------------------------------------------------------
