@@ -46,6 +46,14 @@ def extract(backbone_variables, points, point_mask, keypoints, cfg):
     )
 
 
+def _effective_chunk(g: int, requested: int) -> int:
+    """Largest divisor of the group size not exceeding the requested chunk."""
+    c = min(requested, g)
+    while g % c:
+        c -= 1
+    return c
+
+
 def make_backbone(cfg: PipelineConfig) -> ResUNet:
     return ResUNet(
         variant=cfg.backbone_variant,
@@ -76,8 +84,7 @@ def extract_group_features(
     backbone = make_backbone(cfg)
 
     g = cfg.group_size
-    chunk = cfg.group_chunk
-    assert g % chunk == 0, "group_chunk must divide group size"
+    chunk = _effective_chunk(g, cfg.group_chunk)
     rot_chunks = rots.reshape(g // chunk, chunk, 3, 3)
 
     def one_rotation(R):
@@ -145,8 +152,7 @@ def extract_group_features_hostmaps(
     group = get_group(cfg.group_size)
     rots = group.rotations.astype(np.float32)
     g = cfg.group_size
-    chunk = cfg.group_chunk
-    assert g % chunk == 0
+    chunk = _effective_chunk(g, cfg.group_chunk)
 
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)

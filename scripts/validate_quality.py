@@ -95,9 +95,13 @@ def main():
     )
     log("scenes built")
 
-    # ---- backbone training ----
-    bb_init, bb_step = make_backbone_train_step(cfg, lr=1e-1)
-    bb_it = backbone_pair_batches(scenes, cfg, rng, max_pairs=1024)
+    # ---- backbone training (f32 compute: bf16 flattens the contrastive
+    # distance gradients; inference still runs bf16 via cfg) ----
+    import dataclasses
+
+    cfg_train = dataclasses.replace(cfg, backbone_compute_dtype=None)
+    bb_init, bb_step = make_backbone_train_step(cfg_train, lr=3e-2)
+    bb_it = backbone_pair_batches(scenes, cfg_train, rng, max_pairs=1024)
     batch = next(bb_it)
     state = bb_init(jax.random.PRNGKey(0), batch)
     for i in range(args.steps_bb):
