@@ -76,6 +76,12 @@ def _load():
             i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int32, i32p,
         ]
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.neighbor_table16.restype = None
+        lib.neighbor_table16.argtypes = [
+            i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_int32, i16p,
+        ]
         _lib = lib
         return _lib
 
@@ -176,7 +182,10 @@ def neighbor_table_host(
         return out
     if out is None:
         out = np.empty((len(dc), len(off)), np.int32)
-    lib.neighbor_table(sc, len(sc), dc, len(dc), off, len(off), step, out)
+    if out.dtype == np.int16:
+        lib.neighbor_table16(sc, len(sc), dc, len(dc), off, len(off), step, out)
+    else:
+        lib.neighbor_table(sc, len(sc), dc, len(dc), off, len(off), step, out)
     return out
 
 

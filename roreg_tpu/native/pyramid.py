@@ -53,6 +53,8 @@ def alloc_pyramid_buffers(
 
     caps = capacities
     k1 = conv1_kernel_size**3
+    # int16 tables when every row index fits: halves host->device transfer
+    idx_dt = np.int16 if max(caps) <= 32768 else np.int32
     levels = tuple(
         SparseLevel(
             keys=arr((caps[l],), np.int32, 2**31 - 1),
@@ -62,10 +64,10 @@ def alloc_pyramid_buffers(
         )
         for l in range(num_levels)
     )
-    same = tuple(arr((caps[l], 27), np.int32, -1) for l in range(num_levels))
-    down = tuple(arr((caps[l + 1], 27), np.int32, -1) for l in range(num_levels - 1))
-    up = tuple(arr((caps[l], 27), np.int32, -1) for l in range(num_levels - 1))
-    conv1 = arr((caps[0], k1), np.int32, -1)
+    same = tuple(arr((caps[l], 27), idx_dt, -1) for l in range(num_levels))
+    down = tuple(arr((caps[l + 1], 27), idx_dt, -1) for l in range(num_levels - 1))
+    up = tuple(arr((caps[l], 27), idx_dt, -1) for l in range(num_levels - 1))
+    conv1 = arr((caps[0], k1), idx_dt, -1)
     grid = VoxelGrid(
         keys=levels[0].keys,
         coords=levels[0].coords,

@@ -241,15 +241,19 @@ int64_t unique_snapped(const int32_t* coords, int64_t n, int32_t stride,
 // the src row index or -1. The ME kernel-map equivalent
 // (src/coordinate_map_manager.cpp kernel_map), host-side.
 //
-// Two strategies, auto-selected: a dense bounding-box grid (direct O(1)
-// loads, cache-friendly — wins for the 7^3 first-conv region) when the
-// bbox volume is modest, else open-addressing hash probes.
-void neighbor_table(const int32_t* src_coords, int64_t n_src,
-                    const int32_t* dst_coords, int64_t n_dst,
-                    const int32_t* offsets, int64_t k, int32_t step,
-                    int32_t* out) {
+// Column-hash strategy: hash (x, y) -> dense z-array of rows; a K^3 region
+// costs K^2 cache-resident probes + K sequential z loads per dst voxel.
+// OutT is int16 when capacities fit (halves the host->device transfer of
+// the tables, which rides a tunnel in this deployment) else int32.
+}  // extern "C" (templates cannot carry C linkage)
+
+template <typename OutT>
+static void neighbor_table_impl(const int32_t* src_coords, int64_t n_src,
+                                const int32_t* dst_coords, int64_t n_dst,
+                                const int32_t* offsets, int64_t k,
+                                int32_t step, OutT* out) {
   if (n_src == 0 || n_dst == 0) {
-    for (int64_t i = 0; i < n_dst * k; ++i) out[i] = -1;
+    for (int64_t i = 0; i < n_dst * k; ++i) out[i] = (OutT)-1;
     return;
   }
   // Column structure: hash (x, y) -> column with a dense z-array of rows.
@@ -307,11 +311,29 @@ void neighbor_table(const int32_t* src_coords, int64_t n_src,
           if (zq >= zmin[qv] && zq <= zmax[qv])
             r = zrows[col_off[qv] + (zq - zmin[qv])];
         }
-        out[d * k + j] = r;
+        out[d * k + j] = (OutT)r;
         ++j;
       } while (j < k && offsets[j * 3] == ox && offsets[j * 3 + 1] == oy);
     }
   }
+}
+
+extern "C" {
+
+void neighbor_table(const int32_t* src_coords, int64_t n_src,
+                    const int32_t* dst_coords, int64_t n_dst,
+                    const int32_t* offsets, int64_t k, int32_t step,
+                    int32_t* out) {
+  neighbor_table_impl<int32_t>(src_coords, n_src, dst_coords, n_dst, offsets,
+                               k, step, out);
+}
+
+void neighbor_table16(const int32_t* src_coords, int64_t n_src,
+                      const int32_t* dst_coords, int64_t n_dst,
+                      const int32_t* offsets, int64_t k, int32_t step,
+                      int16_t* out) {
+  neighbor_table_impl<int16_t>(src_coords, n_src, dst_coords, n_dst, offsets,
+                               k, step, out);
 }
 
 }  // extern "C"

@@ -35,6 +35,7 @@ def gather_conv(
     Returns  (M, C_out).
     """
     m, k = nbr.shape
+    nbr = nbr.astype(jnp.int32)  # tables may arrive int16 (transfer saving)
     cin = feats.shape[-1]
     cout = weights.shape[-1]
     if weights.shape[0] != k:
