@@ -19,19 +19,33 @@ from roreg_tpu.data.ply import write_ply
 __all__ = ["synthetic_surface", "make_synthetic_scene"]
 
 
+def _bumpy(rng: np.random.Generator, uv: np.ndarray, extent: float,
+           n_bumps: int = 24, amp: float = 0.12) -> np.ndarray:
+    """Random Gaussian-bump height field — gives every local patch distinct
+    curvature (flat planes are degenerate for descriptor learning: all
+    patches look identical, so contrastive hardest-negatives sit at zero)."""
+    centers = rng.uniform(0, extent, size=(n_bumps, 2))
+    amps = rng.normal(size=n_bumps) * amp
+    sigmas = rng.uniform(0.1, 0.4, size=n_bumps)
+    d2 = ((uv[:, None, :] - centers[None]) ** 2).sum(-1)
+    return (amps[None] * np.exp(-d2 / (2 * sigmas[None] ** 2))).sum(-1)
+
+
 def synthetic_surface(rng: np.random.Generator, n: int = 20000,
                       extent: float = 3.0) -> np.ndarray:
-    """A room-like surface cloud: walls + floor + random boxes."""
+    """A room-like surface cloud: bumpy floor + bumpy walls + random
+    ellipsoids/boxes — geometry with enough local distinctiveness for
+    metric learning."""
     pts = []
-    n_each = n // 5
-    # floor
+    n_each = n // 6
+    # floor with height bumps
     f = rng.uniform(0, extent, size=(n_each, 2))
-    pts.append(np.stack([f[:, 0], f[:, 1], np.zeros(n_each)], -1))
-    # two walls
+    pts.append(np.stack([f[:, 0], f[:, 1], _bumpy(rng, f, extent)], -1))
+    # two walls with depth bumps
     w = rng.uniform(0, extent, size=(n_each, 2))
-    pts.append(np.stack([w[:, 0], np.zeros(n_each), w[:, 1] * 0.8], -1))
+    pts.append(np.stack([w[:, 0], _bumpy(rng, w, extent), w[:, 1] * 0.8], -1))
     w2 = rng.uniform(0, extent, size=(n_each, 2))
-    pts.append(np.stack([np.zeros(n_each), w2[:, 0], w2[:, 1] * 0.8], -1))
+    pts.append(np.stack([_bumpy(rng, w2, extent), w2[:, 0], w2[:, 1] * 0.8], -1))
     # boxes
     for _ in range(2):
         c = rng.uniform(0.5, extent - 0.5, size=(3,))
@@ -41,6 +55,13 @@ def synthetic_surface(rng: np.random.Generator, n: int = 20000,
         u = rng.uniform(-0.5, 0.5, size=(n_each, 3))
         u[np.arange(n_each), face] = np.sign(u[np.arange(n_each), face]) * 0.5
         pts.append(c + u * s)
+    # ellipsoid blobs
+    c = rng.uniform(0.5, extent - 0.5, size=(3,))
+    c[2] = 0.4
+    radii = rng.uniform(0.15, 0.45, size=3)
+    dirs = rng.normal(size=(n_each, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts.append(c + dirs * radii)
     pts = np.concatenate(pts, 0)
     pts += rng.normal(size=pts.shape) * 0.003  # sensor noise
     return pts[rng.permutation(len(pts))[:n]]
