@@ -135,8 +135,19 @@ def backbone_pair_batches(
     """
     import jax.numpy as jnp
 
-    from roreg_tpu.native.lib import mutual_pairs_host
+    from roreg_tpu.native.lib import voxel_nn_host, voxelize_host
     from roreg_tpu.native.pyramid import build_pyramid_host
+
+    def _mutual_nn_fast(a: np.ndarray, b: np.ndarray, radius: float):
+        """O(n) mutual-NN pairing via the native 27-cell voxel search
+        (the O(n^2) all-pairs kernel dominated step time at 16k reps)."""
+        tv_b, _, vc_b = voxelize_host(b, radius)
+        nn_ab = voxel_nn_host(b, tv_b, vc_b, radius, a, radius)
+        tv_a, _, vc_a = voxelize_host(a, radius)
+        nn_ba = voxel_nn_host(a, tv_a, vc_a, radius, b, radius)
+        ia = np.where(nn_ab >= 0)[0]
+        mutual = nn_ba[nn_ab[ia]] == ia
+        return np.stack([ia[mutual], nn_ab[ia][mutual]], -1).astype(np.int32)
 
     match_dist = match_dist or cfg.voxel_size
     pair_list = [(ds, p) for ds in scenes for p in ds.pair_ids]
@@ -161,8 +172,8 @@ def backbone_pair_batches(
         rep0 = np.asarray(pyr0.grid.rep_point)[:n0] @ R0  # back to world
         rep1 = np.asarray(pyr1.grid.rep_point)[:n1] @ R1
         # move rep1 into cloud0 frame: pts0 = T pts1
-        rep1_in0 = rep1 @ T[:3, :3].T + T[:3, 3]
-        pairs = mutual_pairs_host(rep1_in0, rep0, match_dist)  # (P, 2) [i1, i0]
+        rep1_in0 = (rep1 @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        pairs = _mutual_nn_fast(rep1_in0, rep0, match_dist)  # (P, 2) [i1, i0]
         if len(pairs) < 32:
             continue
         sel = rng.permutation(len(pairs))[:max_pairs]
