@@ -82,6 +82,12 @@ def _load():
             i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int32, i16p,
         ]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.neighbor_occupancy.restype = None
+        lib.neighbor_occupancy.argtypes = [
+            i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_int32, u32p,
+        ]
         _lib = lib
         return _lib
 
@@ -186,6 +192,40 @@ def neighbor_table_host(
         lib.neighbor_table16(sc, len(sc), dc, len(dc), off, len(off), step, out)
     else:
         lib.neighbor_table(sc, len(sc), dc, len(dc), off, len(off), step, out)
+    return out
+
+
+def neighbor_occupancy_host(
+    src_coords: np.ndarray,
+    dst_coords: np.ndarray,
+    offsets: np.ndarray,
+    step: int,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """(n_dst, ceil(K/32)) packed uint32 occupancy words: bit j of word w is
+    set iff dst + offsets[32*w + j]*step exists in src. Rows beyond n_dst in
+    a preallocated ``out`` are left untouched (mask conv outputs downstream).
+    """
+    sc = np.ascontiguousarray(src_coords, np.int32)
+    dc = np.ascontiguousarray(dst_coords, np.int32)
+    off = np.ascontiguousarray(offsets, np.int32)
+    k = len(off)
+    words = (k + 31) // 32
+    lib = _load()
+    if lib is None:  # numpy fallback via the table path
+        tbl = neighbor_table_host(sc, dc, off, step)
+        occ = (tbl >= 0).astype(np.uint8)
+        occ = np.pad(occ, ((0, 0), (0, words * 32 - k)))
+        packed = np.packbits(occ, axis=1, bitorder="little")
+        res = packed.view(np.uint32) if packed.size else packed.astype(np.uint32).reshape(len(dc), words)
+        res = res.reshape(len(dc), words)
+        if out is None:
+            return res
+        out[: len(dc)] = res
+        return out
+    if out is None:
+        out = np.zeros((len(dc), words), np.uint32)
+    lib.neighbor_occupancy(sc, len(sc), dc, len(dc), off, k, step, out)
     return out
 
 

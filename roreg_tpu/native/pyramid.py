@@ -14,11 +14,17 @@ from __future__ import annotations
 import numpy as np
 
 from roreg_tpu.native.lib import (
+    neighbor_occupancy_host,
     neighbor_table_host,
     unique_snapped_host,
     voxelize_host,
 )
-from roreg_tpu.sparse.kernel_map import SparseLevel, SparsePyramid, hypercube_offsets
+from roreg_tpu.sparse.kernel_map import (
+    SparseLevel,
+    SparsePyramid,
+    hypercube_offsets,
+    occupancy_words,
+)
 from roreg_tpu.sparse.voxelize import VoxelGrid
 
 __all__ = ["build_pyramid_host", "alloc_pyramid_buffers", "fill_pyramid_host"]
@@ -67,7 +73,7 @@ def alloc_pyramid_buffers(
     same = tuple(arr((caps[l], 27), idx_dt, -1) for l in range(num_levels))
     down = tuple(arr((caps[l + 1], 27), idx_dt, -1) for l in range(num_levels - 1))
     up = tuple(arr((caps[l], 27), idx_dt, -1) for l in range(num_levels - 1))
-    conv1 = arr((caps[0], k1), idx_dt, -1)
+    conv1_occ = arr((caps[0], occupancy_words(k1)), np.uint32, 0)
     grid = VoxelGrid(
         keys=levels[0].keys,
         coords=levels[0].coords,
@@ -78,7 +84,7 @@ def alloc_pyramid_buffers(
         origin=arr((3,), np.int32),
     )
     return SparsePyramid(
-        levels=levels, conv1=conv1, same=same, down=down, up=up, grid=grid
+        levels=levels, conv1_occ=conv1_occ, same=same, down=down, up=up, grid=grid
     )
 
 
@@ -114,9 +120,29 @@ def fill_pyramid_host(
     offc1 = hypercube_offsets(conv1_kernel_size)
     caps = tuple(out.levels[l].keys.shape[0] for l in range(num_levels))
 
+    # Row order = sorted packed key (x-major, z fastest), matching the device
+    # pyramid. Spatial sort order is what makes kernel-map neighbor indices
+    # LOCAL (a 3^3 offset moves a row by ~one z-step / y-run / x-plane, not
+    # arbitrarily) — the property the windowed conv kernels rely on. Hash
+    # first-appearance order (ME sparse_quantize semantics) is kept only for
+    # per-voxel representative-point selection.
+    order0 = np.argsort(
+        coords0[:, 0].astype(np.int64) * (1 << 20)
+        + coords0[:, 1].astype(np.int64) * (1 << 10)
+        + coords0[:, 2].astype(np.int64)
+    )
+    coords0 = coords0[order0]
+    rep = rep[order0]
+
     level_coords = [coords0]
     for l in range(1, num_levels):
-        level_coords.append(unique_snapped_host(level_coords[-1], 2**l))
+        c = unique_snapped_host(level_coords[-1], 2**l)
+        k = (
+            c[:, 0].astype(np.int64) * (1 << 20)
+            + c[:, 1].astype(np.int64) * (1 << 10)
+            + c[:, 2].astype(np.int64)
+        )
+        level_coords.append(c[np.argsort(k)])
     for l in range(num_levels):
         level_coords[l] = level_coords[l][: caps[l]]
 
@@ -135,7 +161,9 @@ def fill_pyramid_host(
         lvl.mask[n:] = False  # clear stale rows on buffer reuse; stale
         lvl.num[...] = n      # table/coord rows are masked out downstream
         neighbor_table_host(c, c, off3, step, out=out.same[l])
-    neighbor_table_host(level_coords[0], level_coords[0], offc1, 1, out=out.conv1)
+    neighbor_occupancy_host(
+        level_coords[0], level_coords[0], offc1, 1, out=out.conv1_occ
+    )
     for l in range(num_levels - 1):
         step = 2**l
         neighbor_table_host(
@@ -161,9 +189,18 @@ def build_pyramid_host(
     """Voxelize + build every kernel map of the UNet on host (numpy out)."""
     buf = alloc_pyramid_buffers(capacities, conv1_kernel_size, None, num_levels)
     fill_pyramid_host(points, voxel_size, buf, conv1_kernel_size, num_levels)
-    # attach to_voxel for single-cloud callers (train data paths)
+    # attach to_voxel for single-cloud callers (train data paths); remap
+    # first-appearance voxel ids to the sorted-key row order of the pyramid
     pts = np.ascontiguousarray(points, np.float32)
-    to_voxel, _, _ = voxelize_host(pts, voxel_size)
+    to_voxel, _, coords0 = voxelize_host(pts, voxel_size)
+    order0 = np.argsort(
+        coords0[:, 0].astype(np.int64) * (1 << 20)
+        + coords0[:, 1].astype(np.int64) * (1 << 10)
+        + coords0[:, 2].astype(np.int64)
+    )
+    rank = np.empty(len(order0), np.int32)
+    rank[order0] = np.arange(len(order0), dtype=np.int32)
+    tv = rank[to_voxel]
     cap0 = capacities[0]
-    tv = np.where(to_voxel < cap0, to_voxel, -1).astype(np.int32)
+    tv = np.where(tv < cap0, tv, -1).astype(np.int32)
     return buf._replace(grid=buf.grid._replace(to_voxel=tv))

@@ -318,7 +318,81 @@ static void neighbor_table_impl(const int32_t* src_coords, int64_t n_src,
   }
 }
 
+// Occupancy-only kernel map: one bit per (dst voxel, offset), packed into
+// uint32 words (bit j of word w = offset 32*w + j). Used for the backbone's
+// first conv, whose input features are constitutively all-ones (FCGF),
+// making neighbor indices redundant — 16x less wire traffic than an int16
+// table for a 7^3 kernel. Rows [0, n_dst) are fully rewritten; pad rows are
+// left untouched (callers mask conv output rows anyway).
+static void neighbor_occupancy_impl(const int32_t* src_coords, int64_t n_src,
+                                    const int32_t* dst_coords, int64_t n_dst,
+                                    const int32_t* offsets, int64_t k,
+                                    int32_t step, uint32_t* out) {
+  const int64_t words = (k + 31) / 32;
+  if (n_src == 0) {
+    for (int64_t i = 0; i < n_dst * words; ++i) out[i] = 0;
+    return;
+  }
+  const uint64_t OFF = 1u << 20;
+  auto packxy = [OFF](int32_t x, int32_t y) {
+    return ((uint64_t)(x + OFF) << 21) | (uint64_t)(y + OFF);
+  };
+  HashMap cols(n_src);
+  int32_t ncols = 0;
+  std::vector<int32_t> col_of(n_src);
+  for (int64_t i = 0; i < n_src; ++i) {
+    bool ins;
+    col_of[i] = cols.get_or_insert(
+        packxy(src_coords[i * 3], src_coords[i * 3 + 1]), ncols, &ins);
+    if (ins) ++ncols;
+  }
+  std::vector<int32_t> zmin(ncols, INT32_MAX), zmax(ncols, INT32_MIN);
+  for (int64_t i = 0; i < n_src; ++i) {
+    int32_t z = src_coords[i * 3 + 2];
+    int32_t c = col_of[i];
+    if (z < zmin[c]) zmin[c] = z;
+    if (z > zmax[c]) zmax[c] = z;
+  }
+  std::vector<int64_t> col_off(ncols + 1, 0);
+  for (int32_t c = 0; c < ncols; ++c)
+    col_off[c + 1] = col_off[c] + (zmax[c] - zmin[c] + 1);
+  std::vector<uint8_t> zocc((size_t)col_off[ncols], 0);
+  for (int64_t i = 0; i < n_src; ++i) {
+    int32_t c = col_of[i];
+    zocc[col_off[c] + (src_coords[i * 3 + 2] - zmin[c])] = 1;
+  }
+
+  for (int64_t d = 0; d < n_dst; ++d) {
+    const int32_t cx = dst_coords[d * 3], cy = dst_coords[d * 3 + 1],
+                  cz = dst_coords[d * 3 + 2];
+    uint32_t* row = out + d * words;
+    for (int64_t w = 0; w < words; ++w) row[w] = 0;
+    int64_t j = 0;
+    while (j < k) {
+      const int32_t ox = offsets[j * 3], oy = offsets[j * 3 + 1];
+      const int32_t qv = cols.find(packxy(cx + ox * step, cy + oy * step));
+      do {
+        if (qv >= 0) {
+          const int32_t zq = cz + offsets[j * 3 + 2] * step;
+          if (zq >= zmin[qv] && zq <= zmax[qv] &&
+              zocc[col_off[qv] + (zq - zmin[qv])])
+            row[j >> 5] |= (uint32_t)1 << (j & 31);
+        }
+        ++j;
+      } while (j < k && offsets[j * 3] == ox && offsets[j * 3 + 1] == oy);
+    }
+  }
+}
+
 extern "C" {
+
+void neighbor_occupancy(const int32_t* src_coords, int64_t n_src,
+                        const int32_t* dst_coords, int64_t n_dst,
+                        const int32_t* offsets, int64_t k, int32_t step,
+                        uint32_t* out) {
+  neighbor_occupancy_impl(src_coords, n_src, dst_coords, n_dst, offsets, k,
+                          step, out);
+}
 
 void neighbor_table(const int32_t* src_coords, int64_t n_src,
                     const int32_t* dst_coords, int64_t n_dst,

@@ -26,6 +26,10 @@ class PipelineConfig:
 
     # how many of the 60 rotations run per jitted backbone pass
     group_chunk: int = 10
+    # Pallas windowed-gather conv slab width (sorted-row locality band).
+    # Extraction checks each chunk's true spread on the host and falls back
+    # to the generic gather path when a table exceeds it. None disables.
+    conv_window: int | None = 1536
     # build coordinate pyramids on host (native C++) instead of on device:
     # the ME-style split; ~60x faster map construction, far smaller compiles
     host_maps: bool = True

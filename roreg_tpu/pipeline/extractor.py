@@ -110,13 +110,29 @@ def extract_group_features(
     return jnp.transpose(out, (1, 0, 2))  # (K, G, 32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "window"))
 def _backbone_chunk(
-    backbone_variables, pyr_stack, keys_rot: jnp.ndarray, cfg: PipelineConfig
+    backbone_variables,
+    pyr_stack,
+    keys_rot: jnp.ndarray,
+    cfg: PipelineConfig,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Jitted per-chunk forward: vmap the backbone + keypoint kNN over a
-    stacked chunk of host-built pyramids. keys_rot (chunk, K, 3)."""
-    backbone = make_backbone(cfg)
+    stacked chunk of host-built pyramids. keys_rot (chunk, K, 3).
+
+    ``window`` selects the Pallas windowed-gather convs (TPU fast path);
+    the host extractor passes it only after verifying the chunk's tables
+    satisfy the locality bound (max_tile_spread + tile <= window).
+    """
+    backbone = ResUNet(
+        variant=cfg.backbone_variant,
+        in_channels=1,
+        out_channels=32,
+        conv1_kernel_size=cfg.conv1_kernel_size,
+        compute_dtype=cfg.backbone_compute_dtype,
+        conv_window=window,
+    )
     feats_in = jnp.ones((cfg.capacities[0], 1), dtype=jnp.float32)
 
     def one(pyr, keys_r):
@@ -166,6 +182,30 @@ def extract_group_features_hostmaps(
     keys_bufs = [np.empty((chunk, kps.shape[0], 3), np.float32) for _ in range(2)]
     pool = ThreadPoolExecutor(max_workers=2)
 
+    # the Pallas windowed convs require TPU (interpret-only elsewhere) and
+    # per-chunk proof that every table respects the locality bound
+    want_window = cfg.conv_window if jax.devices()[0].platform.startswith(
+        "tpu"
+    ) else None
+
+    def chunk_window_ok(buf) -> bool:
+        if want_window is None:
+            return False
+        from roreg_tpu.sparse.window_conv import max_tile_spread
+
+        tables = list(buf.same) + list(buf.down) + list(buf.up)
+        bound = want_window - 136  # tile(128) + sublane alignment slack(8)
+        ok = all(max_tile_spread(np.asarray(t).reshape(-1, t.shape[-1]))
+                 <= bound for t in tables)
+        if not ok:
+            import sys
+
+            print(
+                "[extract] chunk exceeds window locality bound -> gather path",
+                file=sys.stderr, flush=True,
+            )
+        return ok
+
     def build_chunk(c0, slot):
         buf, kb = bufs[slot], keys_bufs[slot]
 
@@ -178,20 +218,23 @@ def extract_group_features_hostmaps(
             kb[gi] = kps @ R.T
 
         list(pool.map(one, range(chunk)))
-        return buf, kb
+        return buf, kb, chunk_window_ok(buf)
 
     outs = []
     n_chunks = g // chunk
     pending = build_chunk(0, 0)
     for ci in range(n_chunks):
-        buf, kb = pending
+        buf, kb, win_ok = pending
         # jnp.array(copy=True): jnp.asarray may ALIAS the numpy buffer
         # (zero-copy on the CPU backend), and the double-buffered slot is
         # refilled while the device still reads it — explicit copies keep
         # the in-flight data immutable
         dev_pyr = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), buf)
         dev_keys = jnp.array(kb, copy=True)
-        out = _backbone_chunk(backbone_variables, dev_pyr, dev_keys, cfg)
+        out = _backbone_chunk(
+            backbone_variables, dev_pyr, dev_keys, cfg,
+            window=want_window if win_ok else None,
+        )
         if ci + 1 < n_chunks:
             pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)
         outs.append(out)

@@ -17,7 +17,24 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["gather_conv", "MaskedBatchNorm", "SparseConv"]
+__all__ = [
+    "gather_conv",
+    "unpack_occupancy",
+    "MaskedBatchNorm",
+    "SparseConv",
+    "OccupancyConv",
+]
+
+
+def unpack_occupancy(words: jnp.ndarray, kernel_volume: int) -> jnp.ndarray:
+    """(M, ceil(K/32)) packed uint32 occupancy words -> (M, K) float 0/1.
+
+    Bit j of word w (little-endian within the word) is kernel offset
+    32*w + j. Elementwise shifts/ands — VPU work, no gathers.
+    """
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(words.shape[0], -1)[:, :kernel_volume].astype(jnp.float32)
 
 
 def gather_conv(
@@ -111,14 +128,59 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[..., None], y, 0.0)
 
 
+class OccupancyConv(nn.Module):
+    """First sparse conv over an all-ones 1-channel input, as one MXU matmul.
+
+    FCGF feeds the backbone a constant 1-vector feature per voxel (reference
+    ``backbone/fcgf/misc.py:70``, ``testset.py:154``), so the first conv's
+    gather is redundant: out[i] = sum_k occ[i, k] * W[k], i.e. a single
+    ``(M, K) @ (K, C_out)`` product of the 0/1 occupancy matrix with the
+    flattened kernel. The occupancy rides as packed uint32 words (16x less
+    host->device traffic than the (M, K) int16 index table the generic path
+    would need for a 7^3 kernel), unpacked on the VPU.
+
+    Exactly equals ``SparseConv(C_out, K)(ones, table, mask)``; the weight
+    param keeps the generic ``(K, 1, C_out)`` shape so checkpoints stay
+    interchangeable with the gather formulation.
+    """
+
+    out_channels: int
+    kernel_volume: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, occ_words, out_mask):
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (self.kernel_volume, 1, self.out_channels),
+        )
+        occ = unpack_occupancy(occ_words, self.kernel_volume)
+        w2 = w.reshape(self.kernel_volume, self.out_channels)
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            occ, w2 = occ.astype(cd), w2.astype(cd)  # 0/1 exact in bf16
+        y = jnp.dot(occ, w2, preferred_element_type=jnp.float32)
+        return jnp.where(out_mask[..., None], y, 0.0)
+
+
 class SparseConv(nn.Module):
-    """One sparse conv layer over a precomputed gather table."""
+    """One sparse conv layer over a precomputed gather table.
+
+    ``window`` selects the Pallas windowed-gather kernel
+    (:func:`roreg_tpu.sparse.window_conv.window_gather_conv`) — the fast
+    inference path, valid when every 128-row output tile's neighbors span
+    fewer than ``window`` sorted source rows (callers check via
+    ``max_tile_spread``). ``window=None`` (default) is the generic
+    XLA gather path, differentiable, used for training.
+    """
 
     out_channels: int
     kernel_volume: int
     use_bias: bool = False
     k_chunk: int = 9
     compute_dtype: str | None = None  # e.g. "bfloat16" for inference
+    window: int | None = None
 
     @nn.compact
     def __call__(self, feats, nbr, out_mask):
@@ -131,7 +193,14 @@ class SparseConv(nn.Module):
             (self.kernel_volume, cin, self.out_channels),
         )
         cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        y = gather_conv(feats, nbr, w, self.k_chunk, compute_dtype=cd)
+        if self.window is not None:
+            from roreg_tpu.sparse.window_conv import window_gather_conv
+
+            y = window_gather_conv(
+                feats, nbr, w, window=self.window, compute_dtype=cd
+            )
+        else:
+            y = gather_conv(feats, nbr, w, self.k_chunk, compute_dtype=cd)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b

@@ -33,10 +33,30 @@ from roreg_tpu.sparse.voxelize import SENTINEL, VoxelGrid, pack_keys, voxelize
 __all__ = [
     "hypercube_offsets",
     "lookup",
+    "pack_occupancy",
+    "occupancy_words",
     "SparseLevel",
     "SparsePyramid",
     "build_pyramid",
 ]
+
+
+def occupancy_words(kernel_volume: int) -> int:
+    """Number of uint32 words holding a packed K-bit occupancy row."""
+    return (kernel_volume + 31) // 32
+
+
+def pack_occupancy(occ: jnp.ndarray) -> jnp.ndarray:
+    """(M, K) bool occupancy -> (M, ceil(K/32)) packed uint32 words
+    (bit j of word w = offset 32*w + j)."""
+    m, k = occ.shape
+    w = occupancy_words(k)
+    pad = w * 32 - k
+    if pad:
+        occ = jnp.pad(occ, ((0, 0), (0, pad)))
+    bits = occ.reshape(m, w, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
 def hypercube_offsets(kernel_size: int) -> np.ndarray:
@@ -80,7 +100,11 @@ class SparsePyramid(NamedTuple):
     """Per-cloud coordinate pyramid + all kernel maps the UNet needs.
 
     levels:   tuple of SparseLevel, finest first.
-    conv1:    (C_0, K1) same-level map at level 0 with the first-conv kernel.
+    conv1_occ: (C_0, ceil(K1/32)) packed uint32 occupancy words of the
+              level-0 first-conv kernel map. The first conv consumes an
+              all-ones 1-channel input (FCGF semantics), so only neighbor
+              *existence* matters — indices are never needed, and packed
+              bits are 16x smaller on the host->device wire.
     same:     per level, (C_l, 27) same-level 3^3 map (for residual blocks).
     down:     per level l -> l+1, (C_{l+1}, 27) map into level l.
     up:       per level l+1 -> l, (C_l, 27) map into level l+1.
@@ -88,7 +112,7 @@ class SparsePyramid(NamedTuple):
     """
 
     levels: tuple
-    conv1: jnp.ndarray
+    conv1_occ: jnp.ndarray
     same: tuple
     down: tuple
     up: tuple
@@ -148,7 +172,9 @@ def build_pyramid(
     for l in range(1, num_levels):
         levels.append(_downsample(levels[-1], 2**l, capacities[l]))
 
-    conv1 = _neighbor_table(lvl0.keys, lvl0.coords, lvl0.mask, offc1, 1)
+    conv1_occ = pack_occupancy(
+        _neighbor_table(lvl0.keys, lvl0.coords, lvl0.mask, offc1, 1) >= 0
+    )
     same, down, up = [], [], []
     for l in range(num_levels):
         step = 2**l
@@ -175,7 +201,7 @@ def build_pyramid(
 
     return SparsePyramid(
         levels=tuple(levels),
-        conv1=conv1,
+        conv1_occ=conv1_occ,
         same=tuple(same),
         down=tuple(down),
         up=tuple(up),

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from roreg_tpu.sparse.conv import MaskedBatchNorm, SparseConv
+from roreg_tpu.sparse.conv import MaskedBatchNorm, OccupancyConv, SparseConv
 from roreg_tpu.sparse.kernel_map import SparsePyramid
 
 __all__ = ["ResUNet", "RESUNET_VARIANTS"]
@@ -34,15 +34,16 @@ class BasicBlock(nn.Module):
 
     channels: int
     compute_dtype: str | None = None
+    window: int | None = None
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
         y = SparseConv(self.channels, nbr.shape[1], name="conv1",
-                       compute_dtype=self.compute_dtype)(x, nbr, mask)
+                       compute_dtype=self.compute_dtype, window=self.window)(x, nbr, mask)
         y = MaskedBatchNorm(name="norm1")(y, mask, use_running_average=not train)
         y = nn.relu(y)
         y = SparseConv(self.channels, nbr.shape[1], name="conv2",
-                       compute_dtype=self.compute_dtype)(y, nbr, mask)
+                       compute_dtype=self.compute_dtype, window=self.window)(y, nbr, mask)
         y = MaskedBatchNorm(name="norm2")(y, mask, use_running_average=not train)
         y = nn.relu(y + x)
         return jnp.where(mask[..., None], y, 0.0)
@@ -58,6 +59,8 @@ class ResUNet(nn.Module):
     normalize_feature: bool = True
     bn_momentum: float = 0.05
     compute_dtype: str | None = None  # "bfloat16" halves conv HBM traffic
+    # Pallas windowed-gather convs (inference fast path); None = XLA gather
+    conv_window: int | None = None
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, pyr: SparsePyramid, train: bool = False):
@@ -69,42 +72,47 @@ class ResUNet(nn.Module):
             return MaskedBatchNorm(momentum=self.bn_momentum, name=name)
 
         # ---------------- encoder ----------------
-        x = SparseConv(ch[0], kv1, name="conv1", compute_dtype=self.compute_dtype)(feats, pyr.conv1, masks[0])
+        # conv1 consumes FCGF's constant all-ones 1-channel input
+        # (reference backbone/fcgf/misc.py:70): occupancy matmul, no gather.
+        # `feats` is accepted for API stability but its values are, by FCGF
+        # construction, all ones on valid rows.
+        assert self.in_channels == 1, "FCGF backbone uses 1-channel ones input"
+        x = OccupancyConv(ch[0], kv1, name="conv1", compute_dtype=self.compute_dtype)(pyr.conv1_occ, masks[0])
         x = bn("norm1")(x, masks[0], use_running_average=not train)
-        out_s1 = BasicBlock(ch[0], self.compute_dtype, name="block1")(x, pyr.same[0], masks[0], train)
+        out_s1 = BasicBlock(ch[0], self.compute_dtype, self.conv_window, name="block1")(x, pyr.same[0], masks[0], train)
         x = nn.relu(out_s1)
 
-        x = SparseConv(ch[1], 27, name="conv2", compute_dtype=self.compute_dtype)(x, pyr.down[0], masks[1])
+        x = SparseConv(ch[1], 27, name="conv2", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.down[0], masks[1])
         x = bn("norm2")(x, masks[1], use_running_average=not train)
-        out_s2 = BasicBlock(ch[1], self.compute_dtype, name="block2")(x, pyr.same[1], masks[1], train)
+        out_s2 = BasicBlock(ch[1], self.compute_dtype, self.conv_window, name="block2")(x, pyr.same[1], masks[1], train)
         x = nn.relu(out_s2)
 
-        x = SparseConv(ch[2], 27, name="conv3", compute_dtype=self.compute_dtype)(x, pyr.down[1], masks[2])
+        x = SparseConv(ch[2], 27, name="conv3", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.down[1], masks[2])
         x = bn("norm3")(x, masks[2], use_running_average=not train)
-        out_s4 = BasicBlock(ch[2], self.compute_dtype, name="block3")(x, pyr.same[2], masks[2], train)
+        out_s4 = BasicBlock(ch[2], self.compute_dtype, self.conv_window, name="block3")(x, pyr.same[2], masks[2], train)
         x = nn.relu(out_s4)
 
-        x = SparseConv(ch[3], 27, name="conv4", compute_dtype=self.compute_dtype)(x, pyr.down[2], masks[3])
+        x = SparseConv(ch[3], 27, name="conv4", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.down[2], masks[3])
         x = bn("norm4")(x, masks[3], use_running_average=not train)
-        out_s8 = BasicBlock(ch[3], self.compute_dtype, name="block4")(x, pyr.same[3], masks[3], train)
+        out_s8 = BasicBlock(ch[3], self.compute_dtype, self.conv_window, name="block4")(x, pyr.same[3], masks[3], train)
         x = nn.relu(out_s8)
 
         # ---------------- decoder ----------------
-        x = SparseConv(tr[3], 27, name="conv4_tr", compute_dtype=self.compute_dtype)(x, pyr.up[2], masks[2])
+        x = SparseConv(tr[3], 27, name="conv4_tr", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.up[2], masks[2])
         x = bn("norm4_tr")(x, masks[2], use_running_average=not train)
-        x = BasicBlock(tr[3], self.compute_dtype, name="block4_tr")(x, pyr.same[2], masks[2], train)
+        x = BasicBlock(tr[3], self.compute_dtype, self.conv_window, name="block4_tr")(x, pyr.same[2], masks[2], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s4], axis=-1)
-        x = SparseConv(tr[2], 27, name="conv3_tr", compute_dtype=self.compute_dtype)(x, pyr.up[1], masks[1])
+        x = SparseConv(tr[2], 27, name="conv3_tr", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.up[1], masks[1])
         x = bn("norm3_tr")(x, masks[1], use_running_average=not train)
-        x = BasicBlock(tr[2], self.compute_dtype, name="block3_tr")(x, pyr.same[1], masks[1], train)
+        x = BasicBlock(tr[2], self.compute_dtype, self.conv_window, name="block3_tr")(x, pyr.same[1], masks[1], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s2], axis=-1)
-        x = SparseConv(tr[1], 27, name="conv2_tr", compute_dtype=self.compute_dtype)(x, pyr.up[0], masks[0])
+        x = SparseConv(tr[1], 27, name="conv2_tr", compute_dtype=self.compute_dtype, window=self.conv_window)(x, pyr.up[0], masks[0])
         x = bn("norm2_tr")(x, masks[0], use_running_average=not train)
-        x = BasicBlock(tr[1], self.compute_dtype, name="block2_tr")(x, pyr.same[0], masks[0], train)
+        x = BasicBlock(tr[1], self.compute_dtype, self.conv_window, name="block2_tr")(x, pyr.same[0], masks[0], train)
         x = nn.relu(x)
 
         x = jnp.concatenate([x, out_s1], axis=-1)

@@ -39,6 +39,39 @@ def test_host_pyramid_matches_device(rng):
             assert hn[i, k] == expect
 
 
+def test_native_occupancy_matches_table(rng):
+    """C++ neighbor_occupancy packs exactly the bits of neighbor_table >= 0."""
+    from roreg_tpu.native.lib import neighbor_occupancy_host, neighbor_table_host
+
+    coords = np.unique(rng.integers(0, 12, size=(400, 3)).astype(np.int32), axis=0)
+    for ks in (3, 7):
+        off = hypercube_offsets(ks)
+        tbl = neighbor_table_host(coords, coords, off, 1)
+        words = neighbor_occupancy_host(coords, coords, off, 1)
+        k = len(off)
+        got = (
+            (words[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+        ).reshape(len(coords), -1)[:, :k]
+        assert np.array_equal(got.astype(bool), tbl >= 0)
+
+
+def test_host_conv1_occ_matches_device(rng):
+    pts = rng.uniform(0, 2, size=(2000, 3)).astype(np.float32)
+    caps = (2048, 2048, 2048, 2048)
+    dev = build_pyramid(
+        jnp.asarray(pts), jnp.ones(2000, bool), 0.05, caps, conv1_kernel_size=3
+    )
+    host = build_pyramid_host(pts, 0.05, caps, conv1_kernel_size=3)
+    n0 = int(host.levels[0].num)
+    dev_coords = np.asarray(dev.levels[0].coords)
+    lut = {tuple(c): i for i, c in enumerate(dev_coords[: int(dev.levels[0].num)])}
+    hc = np.asarray(host.levels[0].coords)
+    perm = np.array([lut[tuple(c)] for c in hc[:n0]])
+    assert np.array_equal(
+        np.asarray(host.conv1_occ)[:n0], np.asarray(dev.conv1_occ)[perm]
+    )
+
+
 def test_host_pyramid_rep_points(rng):
     pts = rng.uniform(0, 1, size=(2000, 3)).astype(np.float32)
     host = build_pyramid_host(pts, 0.1, (1024, 512, 256, 128), 3)

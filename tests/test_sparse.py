@@ -142,6 +142,147 @@ def test_gather_conv_chunk_invariance(rng):
         assert np.allclose(outs[0], o, atol=1e-4)
 
 
+def test_pack_unpack_occupancy_roundtrip(rng):
+    from roreg_tpu.sparse.conv import unpack_occupancy
+    from roreg_tpu.sparse.kernel_map import pack_occupancy
+
+    for k in (27, 343, 32, 1):
+        occ = rng.integers(0, 2, size=(37, k)).astype(bool)
+        words = pack_occupancy(jnp.asarray(occ))
+        assert words.dtype == jnp.uint32
+        back = np.asarray(unpack_occupancy(words, k))
+        assert np.array_equal(back, occ.astype(np.float32))
+
+
+def test_occupancy_conv_equals_gather_conv_on_ones(rng):
+    """OccupancyConv == SparseConv on an all-ones 1-channel input."""
+    import jax
+
+    from roreg_tpu.sparse.conv import OccupancyConv, gather_conv
+    from roreg_tpu.sparse.kernel_map import pack_occupancy
+
+    n, m, K, cout = 60, 50, 343, 32
+    nbr = rng.integers(-1, n, size=(m, K)).astype(np.int32)
+    w = (rng.normal(size=(K, 1, cout)) * 0.1).astype(np.float32)
+    feats = np.ones((n, 1), np.float32)
+    mask = rng.integers(0, 2, size=(m,)).astype(bool)
+
+    ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w)))
+    ref = np.where(mask[:, None], ref, 0.0)
+
+    mod = OccupancyConv(cout, K)
+    words = pack_occupancy(jnp.asarray(nbr >= 0))
+    vars_ = mod.init(jax.random.PRNGKey(0), words, jnp.asarray(mask))
+    vars_ = {"params": {"kernel": jnp.asarray(w)}}
+    out = np.asarray(mod.apply(vars_, words, jnp.asarray(mask)))
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_occupancy_conv_weight_grads(rng):
+    """Training still works through the occupancy matmul (weight grads equal
+    the gather formulation's)."""
+    import jax
+
+    from roreg_tpu.sparse.conv import gather_conv, unpack_occupancy
+    from roreg_tpu.sparse.kernel_map import pack_occupancy
+
+    n, m, K, cout = 40, 30, 27, 8
+    nbr = rng.integers(-1, n, size=(m, K)).astype(np.int32)
+    w = (rng.normal(size=(K, 1, cout)) * 0.1).astype(np.float32)
+    feats = jnp.ones((n, 1), jnp.float32)
+    words = pack_occupancy(jnp.asarray(nbr >= 0))
+
+    def loss_gather(w):
+        return jnp.sum(gather_conv(feats, jnp.asarray(nbr), w) ** 2)
+
+    def loss_occ(w):
+        occ = unpack_occupancy(words, K)
+        y = occ @ w.reshape(K, cout)
+        return jnp.sum(y**2)
+
+    g0 = np.asarray(jax.grad(loss_gather)(jnp.asarray(w)))
+    g1 = np.asarray(jax.grad(loss_occ)(jnp.asarray(w)))
+    assert np.abs(g0 - g1).max() < 1e-3
+
+
+def _local_random_table(rng, n, m, K, band):
+    """Random gather table with the sorted-row locality the window kernel
+    assumes: nbr[i, k] within +-band of a monotone base."""
+    base = np.linspace(0, n - 1, m).astype(np.int64)
+    nbr = base[:, None] + rng.integers(-band, band, size=(m, K))
+    keep = (nbr >= 0) & (nbr < n) & (rng.random((m, K)) > 0.2)
+    return np.where(keep, nbr, -1).astype(np.int32)
+
+
+def test_window_conv_matches_gather(rng):
+    from roreg_tpu.sparse.window_conv import max_tile_spread, window_gather_conv
+
+    n, m, K, c, cout = 3000, 2560, 27, 32, 64
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    nbr = _local_random_table(rng, n, m, K, 300)
+    w = (rng.normal(size=(K, c, cout)) * 0.1).astype(np.float32)
+    assert max_tile_spread(nbr) + 128 <= 1024
+    ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w)))
+    out = np.asarray(
+        window_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w),
+            window=1024, compute_dtype=None, interpret=True,
+        )
+    )
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_window_conv_small_source(rng):
+    """n < window: the slab slice must stay in bounds via feats padding."""
+    from roreg_tpu.sparse.window_conv import window_gather_conv
+
+    n, m, K, c, cout = 200, 256, 27, 8, 16
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    nbr = _local_random_table(rng, n, m, K, 50)
+    w = (rng.normal(size=(K, c, cout)) * 0.1).astype(np.float32)
+    ref = np.asarray(gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w)))
+    out = np.asarray(
+        window_gather_conv(
+            jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w),
+            window=1024, compute_dtype=None, interpret=True,
+        )
+    )
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_window_conv_vmap(rng):
+    """The extractor vmaps the kernel over the rotation chunk axis."""
+    import jax
+
+    from roreg_tpu.sparse.window_conv import window_gather_conv
+
+    B, n, m, K, c, cout = 3, 800, 640, 27, 16, 16
+    feats = rng.normal(size=(B, n, c)).astype(np.float32)
+    nbr = np.stack([_local_random_table(rng, n, m, K, 100) for _ in range(B)])
+    w = (rng.normal(size=(K, c, cout)) * 0.1).astype(np.float32)
+    out = jax.vmap(
+        lambda f, t: window_gather_conv(
+            f, t, jnp.asarray(w), window=512, compute_dtype=None, interpret=True
+        )
+    )(jnp.asarray(feats), jnp.asarray(nbr))
+    for b in range(B):
+        ref = np.asarray(
+            gather_conv(jnp.asarray(feats[b]), jnp.asarray(nbr[b]), jnp.asarray(w))
+        )
+        assert np.abs(np.asarray(out[b]) - ref).max() < 1e-4
+
+
+def test_max_tile_spread(rng):
+    from roreg_tpu.sparse.window_conv import max_tile_spread
+
+    nbr = np.full((256, 4), -1, np.int32)
+    assert max_tile_spread(nbr) == 0
+    nbr[0, 0] = 10
+    nbr[127, 3] = 500
+    nbr[128, 0] = 7
+    assert max_tile_spread(nbr) == 490
+
+
 def test_resunet_forward(rng):
     import jax
     from roreg_tpu.sparse.resunet import ResUNet
