@@ -158,9 +158,15 @@ def fill_pyramid_host(
         ).astype(np.int32)
         lvl.coords[:n] = c
         lvl.mask[:n] = True
-        lvl.mask[n:] = False  # clear stale rows on buffer reuse; stale
-        lvl.num[...] = n      # table/coord rows are masked out downstream
+        lvl.mask[n:] = False  # clear stale rows on buffer reuse
+        lvl.num[...] = n
         neighbor_table_host(c, c, off3, step, out=out.same[l])
+        # stale table rows past n are NOT just cosmetic: window_starts_local
+        # takes the min over all >=0 entries of a 128-row tile, so a stale
+        # neighbor index from a previous fill can drag a tile's window start
+        # (or its measured spread) arbitrarily far and silently zero valid
+        # rows / spuriously fail the locality check
+        out.same[l][n:] = -1
     neighbor_occupancy_host(
         level_coords[0], level_coords[0], offc1, 1, out=out.conv1_occ
     )
@@ -169,9 +175,11 @@ def fill_pyramid_host(
         neighbor_table_host(
             level_coords[l], level_coords[l + 1], off3, step, out=out.down[l]
         )
+        out.down[l][len(level_coords[l + 1]):] = -1
         neighbor_table_host(
             level_coords[l + 1], level_coords[l], off3, step, out=out.up[l]
         )
+        out.up[l][len(level_coords[l]):] = -1
 
     n0 = len(level_coords[0])
     out.grid.rep_point[:n0] = pts[rep[:n0]]
