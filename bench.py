@@ -39,23 +39,22 @@ def main():
 
     from roreg_tpu.data.synthetic import make_synthetic_scene
     from roreg_tpu.pipeline.config import PipelineConfig
-    from roreg_tpu.pipeline.registration import (
-        RegistrationPipeline,
-        gf_apply,
-        register_pair_from_descriptors,
-    )
+    from roreg_tpu.pipeline.registration import RegistrationPipeline, gf_apply
     from roreg_tpu.pipeline.extractor import extract as extract_group_features
+    from roreg_tpu.dist.eval import batched_pair_stage
     from roreg_tpu.core.group import get_group
 
     cfg = PipelineConfig(
         voxel_size=0.025,
         group_size=60,
         capacities=(32768, 16384, 8192, 4096),
+        block_caps=(3072, 1024, 512, 256),
         conv1_kernel_size=7,
         group_chunk=6,
         num_keypoints=5000,
         keynum=1000,
         max_iter=1000,
+        eval_pair_batch=6,
     )
     group = get_group(cfg.group_size)
 
@@ -82,19 +81,27 @@ def main():
     ]
     pairs = [(i, j) for i in range(n_clouds) for j in range(i + 1, n_clouds)]
 
-    def describe(pc, kp):
+    def describe(pc, kp, seed):
+        """Per-cloud work, production layout (Evaluator.process_scene):
+        backbone group feats -> GF -> RD -> keypoint sampling."""
         bb = extract_group_features(
             pipe.variables["backbone"], pc, jnp.ones(pc.shape[0], bool), kp, cfg
         )
         gf = gf_apply(pipe.variables["gf"], bb, cfg)
         det = pipe.detect(gf, jnp.ones(kp.shape[0], bool))
-        return bb, gf, det
+        s = pipe.sample_keypoints(kp, det, jnp.ones(kp.shape[0], bool),
+                                  jax.random.PRNGKey(seed))
+        return bb[s], gf[s], kp[s]
 
-    def run_pair(desc0, desc1, kp0, kp1, key):
-        bb0, gf0, det0 = desc0
-        bb1, gf1, det1 = desc1
-        out = register_pair_from_descriptors(
-            pipe.variables, cfg, key, bb0, gf0, det0, kp0, bb1, gf1, det1, kp1
+    def run_pairs(descs, pair_list, seed):
+        """All pairs in one batched on-device call (pair axis vmap)."""
+        rngs = jnp.stack([
+            jax.random.PRNGKey(seed + k) for k in range(len(pair_list))
+        ])
+        stk = lambda f, side: jnp.stack([descs[p[side]][f] for p in pair_list])
+        out = batched_pair_stage(
+            pipe.variables, cfg, rngs,
+            stk(0, 0), stk(0, 1), stk(1, 0), stk(1, 1), stk(2, 0), stk(2, 1),
         )
         return out["transform"]
 
@@ -103,13 +110,13 @@ def main():
               file=sys.stderr, flush=True)
 
     t_start = time.perf_counter()
-    # ---- warmup / compile on cloud 0 + pair (0, 1) ----
+    # ---- warmup / compile on cloud 0 + a self-pair batch ----
     t_compile0 = time.perf_counter()
     log("compiling describe()...")
-    desc = [describe(*clouds[0])]
+    desc = [describe(*clouds[0], 0)]
     jax.block_until_ready(desc[0][1])
     log("describe compiled; compiling pair stages...")
-    T = run_pair(desc[0], desc[0], clouds[0][1], clouds[0][1], jax.random.PRNGKey(9))
+    T = run_pairs([desc[0]], [(0, 0)] * len(pairs), 9)
     jax.block_until_ready(T)
     compile_s = time.perf_counter() - t_compile0
     log(f"warmup done in {compile_s:.0f}s")
@@ -117,17 +124,12 @@ def main():
     # ---- timed: describe remaining clouds + register all pairs ----
     t0 = time.perf_counter()
     for i in range(1, n_clouds):
-        desc.append(describe(*clouds[i]))
+        desc.append(describe(*clouds[i], i))
         jax.block_until_ready(desc[-1][1])
         log(f"describe cloud {i}: total {time.perf_counter() - t0:.1f}s")
     t_desc = time.perf_counter() - t0
-    Ts = []
-    for k, (i, j) in enumerate(pairs):
-        Ts.append(
-            run_pair(desc[i], desc[j], clouds[i][1], clouds[j][1],
-                     jax.random.PRNGKey(100 + k))
-        )
-    jax.block_until_ready(Ts)
+    Ts = run_pairs(desc, pairs, 100)
+    np.asarray(Ts)  # force through the tunnel (block_until_ready lies)
     elapsed = time.perf_counter() - t0
     log(f"describe {t_desc:.1f}s total, pair stages {elapsed - t_desc:.1f}s "
         f"({(elapsed - t_desc) / len(pairs):.2f}s/pair)")

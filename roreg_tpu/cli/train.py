@@ -24,6 +24,12 @@ def get_parser():
     p.add_argument("--trainset", default="synthetic")
     p.add_argument("--checkpoint_dir", default="./checkpoints")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--val_interval", type=int, default=None,
+                   help="steps between validation passes (default: "
+                        "component's reference setting)")
+    p.add_argument("--val_batches", type=int, default=4,
+                   help="held-out batches for the best-checkpoint gate "
+                        "(0 disables validation)")
     p.add_argument("--group_size", type=int, default=60)
     p.add_argument("--synthetic_scenes", type=int, default=4)
     p.add_argument("--voxel_size", type=float, default=0.025)
@@ -111,9 +117,10 @@ def main(argv=None):
 
     scenes = _build_scenes(args)
     rng = np.random.default_rng(args.seed + 1)
-    tcfg = TrainConfig.defaults(
-        comp, group_size=args.group_size, model_dir=args.checkpoint_dir
-    )
+    tcfg_kw = dict(group_size=args.group_size, model_dir=args.checkpoint_dir)
+    if args.val_interval:
+        tcfg_kw["val_interval"] = args.val_interval
+    tcfg = TrainConfig.defaults(comp, **tcfg_kw)
 
     frozen = None
     if comp in ("gf", "et"):
@@ -151,7 +158,16 @@ def main(argv=None):
     else:
         raise ValueError(comp)
 
-    trainer = Trainer(tcfg, data, frozen=frozen)
+    # held-out batches drive the best-checkpoint gate (reference
+    # train/trainer.py:127-152 name2val behavior)
+    val_fn = None
+    if args.val_batches:
+        from roreg_tpu.train.validators import make_val_fn
+
+        val_batches = [next(data) for _ in range(args.val_batches)]
+        val_fn = make_val_fn(comp, args.group_size, val_batches, frozen=frozen)
+
+    trainer = Trainer(tcfg, data, val_fn=val_fn, frozen=frozen)
     if args.n_devices:
         from roreg_tpu.dist.mesh import make_mesh, shard_train_step
 

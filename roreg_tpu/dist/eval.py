@@ -28,12 +28,15 @@ def batched_pair_stage(
 ):
     """vmap of pair_stage over a leading pair axis.
 
-    All inputs (B, keynum, ...) except rngs (B, 2) uint32 keys.
+    All inputs (B, keynum, ...) except rngs (B, 2) uint32 keys. Returns the
+    stacked pair_stage dict (transform (B,4,4), overlap (B,), m0/m1 (B,M),
+    est_valid (B,M), match_scores (B,M), ...) — everything the evaluator
+    needs for FMR/IR/RR, so the batched path fully replaces the serial one
+    (reference fork-per-pair Pool, test/estimator.py:257-262).
     """
 
     def one(rng, b0, b1, g0, g1, kk0, kk1):
-        out = pair_stage(variables, cfg, rng, b0, b1, g0, g1, kk0, kk1)
-        return out["transform"], out["overlap"]
+        return pair_stage(variables, cfg, rng, b0, b1, g0, g1, kk0, kk1)
 
     return jax.vmap(one)(rngs, bb0, bb1, gf0, gf1, k0, k1)
 
@@ -53,4 +56,5 @@ def eval_pairs_sharded(
         jax.device_put(x, data) for x in (rngs, bb0, bb1, gf0, gf1, k0, k1)
     ]
     with mesh:
-        return batched_pair_stage(variables, cfg, *args)
+        out = batched_pair_stage(variables, cfg, *args)
+    return out

@@ -30,6 +30,7 @@ class Evaluator:
     pipeline: RegistrationPipeline
     cache_dir: str | None = None  # optional npz spill dir for descriptors
     results_log: str | None = None
+    mesh: object | None = None  # jax Mesh -> shard the pair axis over chips
 
     def __post_init__(self):
         from roreg_tpu.utils.profiling import StageTimer
@@ -65,48 +66,106 @@ class Evaluator:
         return bb, gf, det
 
     def process_scene(self, ds: ThreeDMatchDataset, seed: int = 0) -> dict:
-        """Register every pair of a scene; returns per-scene results."""
+        """Register every pair of a scene, ``cfg.eval_pair_batch`` pairs per
+        batched on-device call (``dist.eval.batched_pair_stage``), sharded
+        over ``self.mesh``'s data axis when one is set.
+
+        This replaces the reference's fork-per-pair multiprocessing Pool
+        (test/estimator.py:257-262) with pair-axis vmap + sharding.
+        Keypoint sampling runs once per CLOUD (NMS is deterministic, so
+        with use_rd this is identical to per-pair sampling; without RD the
+        random subset is drawn per cloud instead of per pair).
+        """
         cfg = self.pipeline.cfg
-        from roreg_tpu.pipeline.registration import register_pair_from_descriptors
+        from roreg_tpu.dist.eval import batched_pair_stage, eval_pairs_sharded
 
         desc = {}
+        sampled = {}
         for pc_id in ds.pc_ids:
-            desc[pc_id] = self.describe_cloud(ds, pc_id)
+            bb, gf, det = self.describe_cloud(ds, pc_id)
+            kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
+            ones = jnp.ones((kp.shape[0],), bool)
+            r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pc_id))
+            s = self.pipeline.sample_keypoints(kp, det, ones, r)
+            sampled[pc_id] = (bb[s], gf[s], kp[s])
+            desc[pc_id] = None  # full descriptors no longer needed
 
+        pair_ids = list(ds.pair_ids)
+        nb = max(1, cfg.eval_pair_batch)
+        if self.mesh is not None:
+            nb = max(nb // self.mesh.size * self.mesh.size, self.mesh.size)
         results = {"pairs": [], "transforms": [], "fmr": [], "ir": [],
-                   "rr": [], "rre": [], "rte": []}
-        for k, (id0, id1) in enumerate(ds.pair_ids):
-            bb0, gf0, det0 = desc[id0]
-            bb1, gf1, det1 = desc[id1]
-            kp0 = jnp.asarray(ds.get_kps(id0).astype(np.float32))
-            kp1 = jnp.asarray(ds.get_kps(id1).astype(np.float32))
-            key = jax.random.PRNGKey(seed * 100003 + k)
+                   "rr": [], "rre": [], "rte": [], "overlaps": []}
+        for b0 in range(0, len(pair_ids), nb):
+            batch = pair_ids[b0 : b0 + nb]
+            pad = nb - len(batch)
+            batch_p = batch + [batch[-1]] * pad  # duplicate-pad, drop later
+            rngs = jnp.stack([
+                jax.random.PRNGKey(seed * 100003 + b0 + k)
+                for k in range(len(batch_p))
+            ])
+            stk = lambda i, side: jnp.stack(
+                [sampled[p[side]][i] for p in batch_p]
+            )
+            args = (rngs, stk(0, 0), stk(0, 1), stk(1, 0), stk(1, 1),
+                    stk(2, 0), stk(2, 1))
+            if self.mesh is not None:
+                out = eval_pairs_sharded(
+                    self.mesh, self.pipeline.variables, cfg, *args
+                )
+            else:
+                out = batched_pair_stage(self.pipeline.variables, cfg, *args)
+            self.timer.block("match_estimate", out["transform"])
+            Ts = np.asarray(out["transform"])
+            ovs = np.asarray(out["overlap"])
+            m0 = np.asarray(out["m0"])
+            m1 = np.asarray(out["m1"])
+            ev = np.asarray(out["est_valid"])
+            k0_s = np.asarray(args[5])
+            k1_s = np.asarray(args[6])
+            for k, (id0, id1) in enumerate(batch):
+                T_np = Ts[k]
+                T_gt = ds.get_transform(id0, id1)
+                keys_m0 = k0_s[k][m0[k]]
+                keys_m1 = k1_s[k][m1[k]]
+                fmr, ir = fmr_ir(
+                    keys_m0, keys_m1, ev[k], T_gt, cfg.tau_1, cfg.tau_2,
+                )
+                rre, rte = registration_errors(T_np, T_gt)
+                ok = float(rre < cfg.rr_rot_deg and rte < cfg.rr_trans)
+                results["pairs"].append((int(id0), int(id1)))
+                results["transforms"].append(T_np)
+                results["overlaps"].append(float(ovs[k]))
+                results["fmr"].append(fmr)
+                results["ir"].append(ir)
+                results["rr"].append(ok)
+                if ok:
+                    results["rre"].append(rre)
+                    results["rte"].append(rte)
+        if cfg.pose_sync and len(results["pairs"]) >= 3:
+            self._apply_pose_sync(ds, results)
+        return results
 
-            out = register_pair_from_descriptors(
-                self.pipeline.variables, cfg, key,
-                bb0, gf0, det0, kp0, bb1, gf1, det1, kp1,
-            )
-            T = out["transform"]
-            self.timer.block("match_estimate", T)
-            T_np = np.asarray(T)
+    def _apply_pose_sync(self, ds, results) -> None:
+        """Replace pairwise transforms with the cycle-consistent refinement
+        (eval/posegraph.py) and recompute RR/RRE/RTE on the refined set."""
+        from roreg_tpu.eval.posegraph import sync_scene
+
+        cfg = self.pipeline.cfg
+        refined = sync_scene(
+            results["pairs"], results["transforms"], results["overlaps"]
+        )
+        results["transforms_raw"] = results["transforms"]
+        results["transforms"] = refined
+        results["rr"], results["rre"], results["rte"] = [], [], []
+        for (id0, id1), T_np in zip(results["pairs"], refined):
             T_gt = ds.get_transform(id0, id1)
-            keys_m0 = np.asarray(kp0[out["sample0"]][out["m0"]])
-            keys_m1 = np.asarray(kp1[out["sample1"]][out["m1"]])
-            fmr, ir = fmr_ir(
-                keys_m0, keys_m1, np.asarray(out["est_valid"]),
-                T_gt, cfg.tau_1, cfg.tau_2,
-            )
-            rre, rte = registration_errors(T_np, T_gt)
+            rre, rte = registration_errors(np.asarray(T_np), T_gt)
             ok = float(rre < cfg.rr_rot_deg and rte < cfg.rr_trans)
-            results["pairs"].append((int(id0), int(id1)))
-            results["transforms"].append(T_np)
-            results["fmr"].append(fmr)
-            results["ir"].append(ir)
             results["rr"].append(ok)
             if ok:
                 results["rre"].append(rre)
                 results["rte"].append(rte)
-        return results
 
     def run(self, datasets: dict, out_dir: str, seed: int = 0) -> dict:
         """Evaluate a named dataset group; returns the summary dict and

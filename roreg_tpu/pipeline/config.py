@@ -26,10 +26,19 @@ class PipelineConfig:
 
     # how many of the 60 rotations run per jitted backbone pass
     group_chunk: int = 10
-    # Pallas windowed-gather conv slab width (sorted-row locality band).
-    # Extraction checks each chunk's true spread on the host and falls back
-    # to the generic gather path when a table exceeds it. None disables.
-    conv_window: int | None = 1536
+    # backbone execution engine:
+    #   "block"  — block-dense micro-block engine (sparse/block.py): coarse
+    #              contiguous gathers + dense MXU convs; the production
+    #              inference fast path.
+    #   "gather" — row-gather engine (sparse/conv.py): differentiable,
+    #              used for training and as the parity oracle.
+    engine: str = "block"
+    # static per-level block capacities for the block engine (4^3 cells
+    # per block); overflow drops blocks LOUDLY (native/blockpyr.py)
+    block_caps: tuple[int, ...] = (3072, 1024, 512, 256)
+    # Pallas windowed-gather conv slab width for the gather engine's
+    # inference path (legacy; the block engine supersedes it). None disables.
+    conv_window: int | None = None
     # build coordinate pyramids on host (native C++) instead of on device:
     # the ME-style split; ~60x faster map construction, far smaller compiles
     host_maps: bool = True
@@ -51,6 +60,10 @@ class PipelineConfig:
     max_iter: int = 1000
     ransac_ird: float = 0.1  # inlier distance (ETH: 0.5)
 
+    # scene-level pose-graph synchronization over the pairwise transforms
+    # (eval/posegraph.py): cycle-consistent refinement the reference lacks
+    pose_sync: bool = False
+
     # eval thresholds (tau_1/tau_2 from parses_test; RR from evaluator.py:94)
     tau_1: float = 0.05
     tau_2: float = 0.1
@@ -61,3 +74,8 @@ class PipelineConfig:
     # batching
     bs_gf: int = 1250  # GF descriptor batch (parses_test bs_GF)
     bs_et: int = 1000  # ET batch (parses_test bs_ET)
+    # pairs registered per batched/sharded pair-stage call; the on-device
+    # replacement for the reference's fork-per-pair multiprocessing Pool
+    # (test/estimator.py:257-262). With a mesh, must be a multiple of the
+    # mesh's data-axis size.
+    eval_pair_batch: int = 6

@@ -30,14 +30,18 @@ __all__ = [
 
 
 def extract(backbone_variables, points, point_mask, keypoints, cfg):
-    """Dispatch: host-map path (production) or all-device path (jit-only
-    contexts like the multichip dry run)."""
-    if cfg.host_maps:
+    """Dispatch: block engine (production), host-map gather path, or the
+    all-device path (jit-only contexts like the multichip dry run)."""
+    if cfg.engine == "block" or cfg.host_maps:
         import numpy as np
 
         pts = np.asarray(points)
         if point_mask is not None:
             pts = pts[np.asarray(point_mask)]
+        if cfg.engine == "block":
+            return extract_group_features_blocks(
+                backbone_variables, pts, np.asarray(keypoints), cfg
+            )
         return extract_group_features_hostmaps(
             backbone_variables, pts, np.asarray(keypoints), cfg
         )
@@ -54,7 +58,19 @@ def _effective_chunk(g: int, requested: int) -> int:
     return c
 
 
-def make_backbone(cfg: PipelineConfig) -> ResUNet:
+def make_backbone(cfg: PipelineConfig):
+    """FCGF model zoo dispatch (reference backbone/fcgf/__init__.py:16-30
+    load_model): ResUNet{BN,IN}2* and SimpleNet* families by name."""
+    from roreg_tpu.sparse.resunet import SIMPLENET_VARIANTS, SimpleNet
+
+    if cfg.backbone_variant in SIMPLENET_VARIANTS:
+        return SimpleNet(
+            variant=cfg.backbone_variant,
+            in_channels=1,
+            out_channels=32,
+            conv1_kernel_size=cfg.conv1_kernel_size,
+            compute_dtype=cfg.backbone_compute_dtype,
+        )
     return ResUNet(
         variant=cfg.backbone_variant,
         in_channels=1,
@@ -238,6 +254,119 @@ def extract_group_features_hostmaps(
         if ci + 1 < n_chunks:
             pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)
         outs.append(out)
+    pool.shutdown(wait=False)
+    out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
+    return jnp.transpose(out, (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+def _backbone_chunk_blocks(
+    backbone_variables,
+    payload: jnp.ndarray,
+    keys_rot: jnp.ndarray,
+    cfg: PipelineConfig,
+    chunk: int,
+) -> jnp.ndarray:
+    """Jitted per-chunk forward on the block-dense engine: unpack the
+    single uint8 payload into per-rotation block pyramids, run the
+    BlockResUNet + keypoint kNN per rotation. keys_rot (chunk, K, 3) ->
+    (chunk, K, 32)."""
+    from roreg_tpu.sparse.block import (
+        BlockResUNet,
+        block_rep_points,
+        unpack_block_payload,
+        unpack_cell_occupancy,
+    )
+
+    net = BlockResUNet(
+        variant=cfg.backbone_variant,
+        out_channels=32,
+        conv1_kernel_size=cfg.conv1_kernel_size,
+        compute_dtype=cfg.backbone_compute_dtype,
+    )
+    bpyr_stack = unpack_block_payload(payload, cfg.block_caps, chunk)
+
+    def one(args):
+        bp, keys_r = args
+        feats = net.apply(backbone_variables, bp, False)  # (Bcap0*64, 32)
+        rep = block_rep_points(bp.l0_coords, bp.rep_frac, bp.origin, cfg.voxel_size)
+        occ = unpack_cell_occupancy(bp.levels[0].occ_words).reshape(-1)
+        _, idx = knn_nn(keys_r, rep, ref_mask=occ)
+        return feats[idx]
+
+    # sequential over the chunk's rotations: one rotation's 12^3 superblock
+    # intermediates peak at ~0.7 GB (L0, 64ch); vmapping the chunk would
+    # multiply that by group_chunk and exhaust HBM
+    return jax.lax.map(one, (bpyr_stack, keys_rot))
+
+
+def extract_group_features_blocks(
+    backbone_variables,
+    points,
+    keypoints,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Production extractor on the block-dense engine (sparse/block.py):
+    host builds ~1 MB/rotation of block tables + occupancy words, the
+    device runs dense superblock convs on the MXU. Same semantics as
+    :func:`extract_group_features` (testset.py parity: 60 rotations,
+    keypoint nearest-voxel lookup). Double-buffered like the host-map
+    path: chunk i+1's numpy build overlaps chunk i's device compute.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from roreg_tpu.native.blockpyr import (
+        alloc_block_buffers_packed,
+        block_tree_slice,
+        fill_block_pyramid_host,
+    )
+
+    group = get_group(cfg.group_size)
+    rots = group.rotations.astype(np.float32)
+    g = cfg.group_size
+    chunk = _effective_chunk(g, cfg.group_chunk)
+
+    pts = np.ascontiguousarray(points, np.float32)
+    kps = np.ascontiguousarray(keypoints, np.float32)
+
+    # each slot: one contiguous uint8 payload + a typed view-tree into it;
+    # shipping the payload is ONE host->device put per chunk
+    bufs = [alloc_block_buffers_packed(cfg.block_caps, chunk) for _ in range(2)]
+    keys_bufs = [np.empty((chunk, kps.shape[0], 3), np.float32) for _ in range(2)]
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def build_chunk(c0, slot):
+        (payload, tree), kb = bufs[slot], keys_bufs[slot]
+
+        def one(gi):
+            R = rots[c0 + gi]
+            fill_block_pyramid_host(
+                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi)
+            )
+            kb[gi] = kps @ R.T
+
+        list(pool.map(one, range(chunk)))
+        return payload, kb
+
+    outs = []
+    n_chunks = g // chunk
+    pending = build_chunk(0, 0)
+    for ci in range(n_chunks):
+        payload, kb = pending
+        # copy=True: keep in-flight device data immutable while the
+        # double-buffered slot is refilled (zero-copy aliasing exists on
+        # the CPU backend)
+        dev_payload = jnp.array(payload, copy=True)
+        dev_keys = jnp.array(kb, copy=True)
+        outs.append(
+            _backbone_chunk_blocks(
+                backbone_variables, dev_payload, dev_keys, cfg, chunk
+            )
+        )
+        if ci + 1 < n_chunks:
+            pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)
     pool.shutdown(wait=False)
     out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
     return jnp.transpose(out, (1, 0, 2))

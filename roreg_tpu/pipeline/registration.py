@@ -287,7 +287,6 @@ class RegistrationPipeline:
         group = get_group(cfg.group_size)
         ks = jax.random.split(key, 5)
         backbone = make_backbone(cfg)
-        from roreg_tpu.sparse.kernel_map import build_pyramid
 
         # init under jit: eager init dispatches hundreds of tiny ops, which
         # is pathological over a tunneled TPU
@@ -297,14 +296,18 @@ class RegistrationPipeline:
         pts = jnp.asarray(rng_np.uniform(0, 2, (512, 3)).astype(np.float32))
         from roreg_tpu.native.pyramid import build_pyramid_host
 
+        # parameter shapes are independent of the pyramid capacities, so
+        # init traces TINY capacity graphs — compiling the init at the
+        # production 32768-row caps costs tens of minutes on CPU backends
+        caps_init = (512, 256, 128, 64)
         pyr = jax.tree_util.tree_map(
             jnp.asarray,
             build_pyramid_host(
-                np.asarray(pts), cfg.voxel_size * 4, cfg.capacities,
+                np.asarray(pts), cfg.voxel_size * 4, caps_init,
                 conv1_kernel_size=cfg.conv1_kernel_size,
             ),
         )
-        feats_in = jnp.ones((cfg.capacities[0], 1), jnp.float32)
+        feats_in = jnp.ones((caps_init[0], 1), jnp.float32)
         v_bb = jax.jit(backbone.init, static_argnames=("train",))(
             ks[0], feats_in, pyr, train=False
         )
@@ -336,23 +339,16 @@ class RegistrationPipeline:
     # ---- stages ----
 
     def describe(self, points, point_mask, keypoints):
-        """Cloud -> backbone group features -> descriptor eqv features."""
-        if self.cfg.host_maps:
-            import numpy as np
+        """Cloud -> backbone group features -> descriptor eqv features.
 
-            from roreg_tpu.pipeline.extractor import (
-                extract_group_features_hostmaps,
-            )
+        Engine dispatch (block / host-map gather / all-device) lives in
+        :func:`roreg_tpu.pipeline.extractor.extract`.
+        """
+        from roreg_tpu.pipeline.extractor import extract
 
-            pts = np.asarray(points)[np.asarray(point_mask)]
-            bb = extract_group_features_hostmaps(
-                self.variables["backbone"], pts, np.asarray(keypoints), self.cfg
-            )
-        else:
-            bb = extract_group_features(
-                self.variables["backbone"], points, point_mask, keypoints,
-                self.cfg,
-            )
+        bb = extract(
+            self.variables["backbone"], points, point_mask, keypoints, self.cfg
+        )
         gf = gf_apply(self.variables["gf"], bb, self.cfg)
         return bb, gf
 

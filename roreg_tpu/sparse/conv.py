@@ -21,6 +21,7 @@ __all__ = [
     "gather_conv",
     "unpack_occupancy",
     "MaskedBatchNorm",
+    "MaskedInstanceNorm",
     "SparseConv",
     "OccupancyConv",
 ]
@@ -124,6 +125,33 @@ class MaskedBatchNorm(nn.Module):
                 ) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
 
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Instance norm over a sparse tensor's valid rows, per channel.
+
+    Equivalent of ME.MinkowskiInstanceNorm (reference
+    ``backbone/fcgf/common.py:7``): each batch item (here: one cloud per
+    forward) is normalized over ALL its voxels per channel — no running
+    stats, train == eval. Pad rows are excluded from the statistics and
+    zeroed in the output.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool | None = None):
+        # signature-compatible with MaskedBatchNorm; IN has no run avg
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        w = mask.astype(x.dtype).reshape(-1)
+        xf = x.reshape(-1, c)
+        denom = jnp.clip(jnp.sum(w), 1.0)
+        mean = jnp.sum(xf * w[:, None], axis=0) / denom
+        var = jnp.sum(((xf - mean) ** 2) * w[:, None], axis=0) / denom
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return jnp.where(mask[..., None], y, 0.0)
 

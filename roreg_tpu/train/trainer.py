@@ -267,6 +267,12 @@ class Trainer:
         self.init_fn, self.step_fn, self.eval_fwd = make_train_step(cfg, frozen)
         self.state = None
         self.history: list[dict] = []
+        # scalar stream (tensorboardX Logger equivalent, utils/utils.py:200)
+        from roreg_tpu.utils.metrics_log import ScalarLog
+
+        self.scalar_log = ScalarLog(
+            os.path.join(cfg.model_dir, cfg.component.upper(), "log")
+        )
 
     def _ckpt_dir(self, best=False):
         name = "model_best" if best else "model"
@@ -308,13 +314,19 @@ class Trainer:
             if (i + 1) % cfg.log_interval == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 self.history.append({"step": i + 1, **last_metrics})
+                self.scalar_log.write(i + 1, last_metrics, split="train")
             if self.val_fn is not None and (i + 1) % cfg.val_interval == 0:
                 val = self.val_fn(self.state, self.eval_fwd)
                 v = val[self.metric_key]
                 if self.greater * v >= self.greater * self.best:
                     self.best = v
                     self.save(best=True)
-                self.history.append({"step": i + 1, **{f"val_{k}": float(x) for k, x in val.items()}})
+                self.history.append({
+                    "step": i + 1,
+                    **{f"val_{k}": float(x) for k, x in val.items()
+                       if np.ndim(x) == 0},
+                })
+                self.scalar_log.write(i + 1, val, split="val")
             if (i + 1) % cfg.save_interval == 0:
                 self.save(best=False)
             if i + 1 < steps:

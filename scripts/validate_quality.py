@@ -29,7 +29,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps_bb", type=int, default=2000)
     ap.add_argument("--steps_gf", type=int, default=800)
+    ap.add_argument("--steps_rm", type=int, default=300)
+    ap.add_argument("--steps_et", type=int, default=400)
+    ap.add_argument("--steps_rd", type=int, default=300)
     ap.add_argument("--group_size", type=int, default=60)
+    ap.add_argument("--skip_full_chain", action="store_true",
+                    help="only the backbone+GF mutual/yohoc baseline")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
     args = ap.parse_args()
@@ -144,7 +149,17 @@ def main():
     save_variables(os.path.join(ckdir, "backbone_variables"), backbone_vars)
     save_variables(os.path.join(ckdir, "gf_variables"), gf_vars)
 
-    # ---- evaluate on the held-out pair ----
+    # ---- RM / ET / RD training + full-chain evaluation ----
+    trained = {"backbone": backbone_vars, "gf": gf_vars}
+    if not args.skip_full_chain:
+        trained.update(
+            _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log)
+        )
+        full_chain = _eval_chain(cfg, trained, test_scene, log)
+    else:
+        full_chain = None
+
+    # ---- evaluate on the held-out pair (mutual + yohoc baseline) ----
     group = get_group(cfg.group_size)
     results = []
     for (id0, id1) in test_scene.pair_ids:
@@ -193,15 +208,147 @@ def main():
     out = {
         "config": {
             "group_size": cfg.group_size, "steps_bb": args.steps_bb,
-            "steps_gf": args.steps_gf, "voxel_size": cfg.voxel_size,
+            "steps_gf": args.steps_gf, "steps_rm": args.steps_rm,
+            "steps_et": args.steps_et, "steps_rd": args.steps_rd,
+            "voxel_size": cfg.voxel_size,
         },
         "pairs": results,
         "rr": float(np.mean([r["success"] for r in results])),
+        "full_chain": full_chain,
         "wall_s": round(time.time() - t_start, 1),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
+
+
+def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
+    """Train RM, ET and RD on the synthetic scenes (reference order:
+    RM/ET need GF; RD's trainset is produced by a self-run of the
+    pipeline, train/trainset/RD.py:61-73). Returns the variables dict."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roreg_tpu.pipeline.extractor import extract
+    from roreg_tpu.pipeline.registration import RegistrationPipeline, gf_apply
+    from roreg_tpu.train.data import (
+        RotatedFeatureCache,
+        gf_et_batches,
+        rd_batches,
+        rm_batches,
+    )
+    from roreg_tpu.train.trainer import TrainConfig, make_train_step
+
+    # descriptor features per cloud from the trained GF
+    gf_feats = {}
+    for ds in scenes:
+        for pc_id in ds.pc_ids:
+            pc = ds.get_pc(pc_id).astype(np.float32)
+            kp = ds.get_kps(pc_id).astype(np.float32)
+            bb = extract(backbone_vars, pc, None, kp, cfg)
+            gf_feats[(ds.name, pc_id)] = np.asarray(gf_apply(gf_vars, bb, cfg))
+    log("per-cloud GF features extracted for RM/RD training")
+
+    # ---- RM ----
+    rm_it = rm_batches(
+        gf_feats, scenes, rng, min_ps=256, max_ps=1024, capacity=1024,
+        group_size=cfg.group_size,
+    )
+    tcfg = TrainConfig.defaults("rm", group_size=cfg.group_size)
+    rm_init, rm_step, _ = make_train_step(tcfg)
+    b = next(rm_it)
+    rm_state = rm_init(jax.random.PRNGKey(3), b)
+    for i in range(args.steps_rm):
+        rm_state, m = rm_step(rm_state, b)
+        b = next(rm_it)
+        if (i + 1) % 100 == 0:
+            log(f"RM step {i + 1}: loss {float(m['loss']):.4f}")
+    rm_vars = {"params": rm_state["params"]}
+    log("RM trained")
+
+    # ---- ET (frozen GF) ----
+    cache = RotatedFeatureCache(cfg, backbone_vars, rnum=2)
+    et_it = gf_et_batches(cache, scenes, batch_size=32, rng=rng, pair_dist=0.03)
+    tcfg = TrainConfig.defaults("et", group_size=cfg.group_size)
+    et_init, et_step, _ = make_train_step(tcfg, frozen={"gf": gf_vars})
+    b = next(et_it)
+    et_state = et_init(jax.random.PRNGKey(4), b)
+    for i in range(args.steps_et):
+        et_state, m = et_step(et_state, b)
+        b = next(et_it)
+        if (i + 1) % 100 == 0:
+            log(f"ET step {i + 1}: loss {float(m['loss']):.4f}")
+    et_vars = {
+        "params": et_state["params"], "batch_stats": et_state["batch_stats"]
+    }
+    log("ET trained")
+
+    # ---- RD (self-run pipeline supervision) ----
+    from roreg_tpu.train.selfrun import build_rd_match_bank
+
+    pipe = RegistrationPipeline(
+        dataclasses.replace(cfg, use_rd=False, use_rm=False, estimator="yohoc"),
+        {"backbone": backbone_vars, "gf": gf_vars, "rm": rm_vars,
+         "et": et_vars, "rd": None},
+    )
+    # rd needs init for sampling path? selfrun uses gf/mutual only
+    bank = build_rd_match_bank(pipe, scenes, seed=7)
+    rd_it = rd_batches(bank, 128, rng)
+    tcfg = TrainConfig.defaults("rd", group_size=cfg.group_size)
+    rd_init, rd_step, _ = make_train_step(tcfg)
+    b = next(rd_it)
+    rd_state = rd_init(jax.random.PRNGKey(5), b)
+    for i in range(args.steps_rd):
+        rd_state, m = rd_step(rd_state, b)
+        b = next(rd_it)
+        if (i + 1) % 100 == 0:
+            log(f"RD step {i + 1}: loss {float(m['loss']):.4f}")
+    rd_vars = {
+        "params": rd_state["params"], "batch_stats": rd_state["batch_stats"]
+    }
+    log("RD trained")
+
+    from roreg_tpu.train.checkpoints import save_variables
+
+    ckdir = os.path.join(REPO, "checkpoints_quality")
+    save_variables(os.path.join(ckdir, "rm_variables"), rm_vars)
+    save_variables(os.path.join(ckdir, "et_variables"), et_vars)
+    save_variables(os.path.join(ckdir, "rd_variables"), rd_vars)
+    return {"rm": rm_vars, "et": et_vars, "rd": rd_vars}
+
+
+def _eval_chain(cfg, variables, test_scene, log):
+    """Evaluate the flagship chain (--RD --RM --ET yohoo, reference
+    test/__init__.py:6-23) AND the descriptor-only baseline on the
+    held-out scene via the production Evaluator."""
+    import dataclasses
+
+    from roreg_tpu.eval.evaluator import Evaluator
+    from roreg_tpu.pipeline.registration import RegistrationPipeline
+
+    import numpy as np
+
+    out = {}
+    for name, flags in {
+        "full_rd_rm_et_yohoo": dict(use_rd=True, use_rm=True, estimator="yohoo"),
+        "mutual_yohoc": dict(use_rd=False, use_rm=False, estimator="yohoc"),
+    }.items():
+        ecfg = dataclasses.replace(cfg, keynum=1024, **flags)
+        pipe = RegistrationPipeline(ecfg, variables)
+        ev = Evaluator(pipe)
+        res = ev.process_scene(test_scene, seed=11)
+        out[name] = {
+            "rr": float(np.mean(res["rr"])),
+            "fmr": float(np.mean(res["fmr"])),
+            "ir": float(np.mean(res["ir"])),
+            "rre": float(np.mean(res["rre"])) if res["rre"] else None,
+            "rte": float(np.mean(res["rte"])) if res["rte"] else None,
+        }
+        log(f"chain '{name}': {out[name]}")
+    return out
 
 
 if __name__ == "__main__":

@@ -37,18 +37,26 @@ def setup():
 
 def test_batched_matches_single(setup):
     cfg, variables, args = setup
-    Ts, ovs = batched_pair_stage(variables, cfg, *args)
+    out = batched_pair_stage(variables, cfg, *args)
     rngs, bb0, bb1, gf0, gf1, k0, k1 = args
     out0 = pair_stage(
         variables, cfg, rngs[0], bb0[0], bb1[0], gf0[0], gf1[0], k0[0], k1[0]
     )
-    assert np.allclose(np.asarray(Ts[0]), np.asarray(out0["transform"]), atol=1e-4)
+    assert np.allclose(
+        np.asarray(out["transform"][0]), np.asarray(out0["transform"]), atol=1e-4
+    )
+    for key in ("m0", "m1", "est_valid", "match_scores"):
+        assert np.allclose(
+            np.asarray(out[key][0]), np.asarray(out0[key]), atol=1e-5
+        ), key
 
 
 def test_sharded_matches_batched(setup):
     cfg, variables, args = setup
-    Ts_ref, _ = batched_pair_stage(variables, cfg, *args)
+    ref = batched_pair_stage(variables, cfg, *args)
     mesh = make_mesh(8)
-    Ts, ovs = eval_pairs_sharded(mesh, variables, cfg, *args)
-    assert np.allclose(np.asarray(Ts), np.asarray(Ts_ref), atol=1e-3)
-    assert Ts.shape == (8, 4, 4)
+    out = eval_pairs_sharded(mesh, variables, cfg, *args)
+    assert np.allclose(
+        np.asarray(out["transform"]), np.asarray(ref["transform"]), atol=1e-3
+    )
+    assert out["transform"].shape == (8, 4, 4)

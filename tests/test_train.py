@@ -130,6 +130,90 @@ def test_et_train_step():
     _one_step_decreases("et", _gf_batch, steps=5, frozen={"gf": gf_vars})
 
 
+def test_validation_gates_best_checkpoint(tmp_path):
+    """make_val_fn + Trainer: validation runs at val_interval, the gate
+    metric improves on a learnable fixed batch, and model_best is written
+    (reference train/trainer.py:127-152 semantics)."""
+    import os
+
+    from roreg_tpu.train.validators import make_val_fn
+
+    cfg = TrainConfig.defaults(
+        "gf", group_size=GS, lr_init=1e-3,
+        total_steps=8, val_interval=4, save_interval=100, log_interval=100,
+        model_dir=str(tmp_path),
+    )
+    rng = np.random.default_rng(4)
+    fixed = _gf_batch(rng, b=8)
+
+    def it():
+        while True:
+            yield fixed
+
+    val_fn = make_val_fn("gf", GS, [fixed])
+    t = Trainer(cfg, it(), val_fn=val_fn)
+    res = t.run()
+    assert res["final_step"] == 8
+    assert np.isfinite(t.best) and t.best >= 0.0
+    assert os.path.exists(os.path.join(str(tmp_path), "GF", "model_best"))
+    vals = [h for h in t.history if "val_whole_recall" in h]
+    assert len(vals) == 2  # steps 4 and 8
+
+
+def test_make_val_fn_all_components():
+    """Each component's val_fn returns its gate metric on fresh states."""
+    from roreg_tpu.train.validators import make_val_fn
+    from roreg_tpu.train.trainer import name2metric
+
+    rng = np.random.default_rng(5)
+    group = get_group(GS)
+    from roreg_tpu.models.gf import GroupFeatNetwork
+
+    gf_vars = GroupFeatNetwork(group).init(
+        jax.random.PRNGKey(1), jnp.zeros((2, GS, 32)), False
+    )
+
+    def rd_batch(rng, b=6):
+        return {
+            "feats0": jnp.asarray(rng.normal(size=(b, GS, 32)).astype(np.float32)),
+            "feats1": jnp.asarray(rng.normal(size=(b, GS, 32)).astype(np.float32)),
+            "rdiffs": jnp.asarray(rng.random(b).astype(np.float32)),
+        }
+
+    def rm_batch(rng, m=16, n=14, p=6):
+        pairs = np.stack([np.arange(p), np.arange(p)], -1)
+        return {
+            "feats0": jnp.asarray(rng.normal(size=(1, m, GS, 32)).astype(np.float32)),
+            "feats1": jnp.asarray(rng.normal(size=(1, n, GS, 32)).astype(np.float32)),
+            "keys0": jnp.asarray(rng.normal(size=(1, m, 3)).astype(np.float32)),
+            "keys1": jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32)),
+            "mask0": jnp.ones((1, m), bool),
+            "mask1": jnp.ones((1, n), bool),
+            "pairs": jnp.asarray(pairs[None].astype(np.int32)),
+            "pair_mask": jnp.ones((1, p), bool),
+            "unpair0": jnp.asarray((np.arange(m) >= p)[None]),
+            "unpair1": jnp.asarray((np.arange(n) >= p)[None]),
+            "matches0": jnp.full((1, m), -1, jnp.int32).at[0, :p].set(
+                jnp.arange(p)
+            ),
+        }
+
+    cases = {
+        "gf": (_gf_batch(rng), None),
+        "rd": (rd_batch(rng), None),
+        "rm": (rm_batch(rng), None),
+        "et": (_gf_batch(rng), {"gf": gf_vars}),
+    }
+    for comp, (batch, frozen) in cases.items():
+        cfg = TrainConfig.defaults(comp, group_size=GS)
+        init_fn, _, eval_fwd = make_train_step(cfg, frozen)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        val_fn = make_val_fn(comp, GS, [batch], frozen=frozen)
+        out = val_fn(state, eval_fwd)
+        key = name2metric[comp][0]
+        assert key in out and np.isfinite(out[key]), (comp, out)
+
+
 def test_trainer_run_and_checkpoint(tmp_path):
     cfg = TrainConfig.defaults(
         "gf", group_size=GS, lr_init=1e-3,
