@@ -50,7 +50,9 @@ def main():
         capacities=(32768, 16384, 8192, 4096),
         block_caps=(3072, 1024, 512, 256),
         conv1_kernel_size=7,
-        group_chunk=6,
+        group_chunk=10,  # MUST match PipelineConfig default: the chunked
+        # backbone program is compile-cached per chunk size, and a remote
+        # full-net compile costs ~25 min
         num_keypoints=5000,
         keynum=1000,
         max_iter=1000,

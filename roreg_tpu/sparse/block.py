@@ -162,19 +162,26 @@ def gather_superblock(feats: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
     return g.reshape(b, 12, 12, 12, c)
 
 
-def _halo_maps(span: int, scale: int):
-    """Static index maps for cell-level halo gathering.
+def _halo_maps(ksize: int, scale: int):
+    """Static index maps for cell-level halo gathering + im2col.
 
-    span: halo units per axis (6 for same-level, 9 for strided down).
+    ksize: conv kernel size per axis (3 for same/down/up, up to 9 for conv1).
     scale: out-cell stride in halo units (1 same, 2 down).
+    The halo spans ``scale*(BLOCK-1) + ksize`` units per axis, always
+    within the 27-neighbor block table (requires ksize <= 9 at scale 1).
 
-    Returns (koff (span^3,), cell (span^3,), q (64*27,)):
+    Returns (koff (span^3,), cell (span^3,), q (64*ksize^3,)):
     * halo position p reads source cell ``cell[p]`` of neighbor block
       ``koff[p]`` (hypercube order);
-    * im2col entry (out-cell u, offset o) reads halo position ``q[u*27+o]``.
+    * im2col entry (out-cell u, offset o) reads halo position
+      ``q[u*ksize^3 + o]`` — offsets row-major, dx slowest, matching the
+      ``hypercube_offsets`` kernel layout.
     """
-    a = np.arange(span) - 1  # absolute unit position relative to block start
+    pad = (ksize - 1) // 2
+    span = scale * (BLOCK - 1) + ksize
+    a = np.arange(span) - pad  # absolute unit position rel. block start
     d = np.floor_divide(a, BLOCK)  # neighbor block offset per axis (-1/0/1)
+    assert d.min() >= -1 and d.max() <= 1, "kernel exceeds 27-neighbor halo"
     c = a - d * BLOCK
     dx, dy, dz = np.meshgrid(d, d, d, indexing="ij")
     cx, cy, cz = np.meshgrid(c, c, c, indexing="ij")
@@ -182,20 +189,57 @@ def _halo_maps(span: int, scale: int):
     cell = (cx * 16 + cy * 4 + cz).reshape(-1).astype(np.int32)
 
     u = np.arange(BLOCK)
-    o = np.arange(3) - 1
-    ux, ox = np.meshgrid(u, o, indexing="ij")  # (4, 3)
-    h = scale * ux + ox + 1  # halo coordinate per (u, o) per axis
+    o = np.arange(ksize)
+    ux, ox = np.meshgrid(u, o, indexing="ij")  # (4, ksize)
+    h = scale * ux + ox  # halo coordinate per (u, o) per axis
+    kv = ksize**3
     q = (
         h[:, None, None, :, None, None] * span * span
         + h[None, :, None, None, :, None] * span
         + h[None, None, :, None, None, :]
-    )  # (4,4,4, 3,3,3)
-    q = q.transpose(0, 1, 2, 3, 4, 5).reshape(CELLS, 27).reshape(-1)
+    )  # (4,4,4, k,k,k)
+    q = q.reshape(CELLS, kv).reshape(-1)
     return koff, cell, q.astype(np.int32)
 
 
-_SAME_KOFF, _SAME_CELL, _SAME_Q = _halo_maps(6, 1)
-_DOWN_KOFF, _DOWN_CELL, _DOWN_Q = _halo_maps(9, 2)
+_SAME_KOFF, _SAME_CELL, _SAME_Q = _halo_maps(3, 1)
+_DOWN_KOFF, _DOWN_CELL, _DOWN_Q = _halo_maps(3, 2)
+_CONV1_MAPS: dict = {}
+
+
+def _conv1_maps(ksize: int):
+    if ksize not in _CONV1_MAPS:
+        _CONV1_MAPS[ksize] = _halo_maps(ksize, 1)
+    return _CONV1_MAPS[ksize]
+
+
+def _up_maps():
+    """Static im2col maps for the transposed conv: out cell u reads coarse
+    region cell (u+d)/2 (row-major 3^3 region) when u+d is even per axis.
+
+    Returns (ridx (64*27,), valid (64*27,)).
+    """
+    u = np.arange(BLOCK)
+    d = np.arange(3) - 1
+    uu, dd = np.meshgrid(u, d, indexing="ij")  # (4, 3)
+    s = uu + dd
+    ok = (s % 2 == 0) & (s >= 0)
+    r = np.where(ok, s // 2, 0)
+    # compose axes: cells x-major, offsets row-major dx slowest
+    ridx = (
+        r[:, None, None, :, None, None] * 9
+        + r[None, :, None, None, :, None] * 3
+        + r[None, None, :, None, None, :]
+    ).reshape(CELLS, 27)
+    valid = (
+        ok[:, None, None, :, None, None]
+        & ok[None, :, None, None, :, None]
+        & ok[None, None, :, None, None, :]
+    ).reshape(CELLS, 27)
+    return ridx.reshape(-1).astype(np.int32), valid.reshape(-1)
+
+
+_UP_RIDX, _UP_VALID = _up_maps()
 
 
 def _halo_gather(feats: jnp.ndarray, tbl: jnp.ndarray, koff, cell):
@@ -214,62 +258,63 @@ def _halo_gather(feats: jnp.ndarray, tbl: jnp.ndarray, koff, cell):
     return jnp.where((blk >= 0)[..., None], g, jnp.zeros((), g.dtype))
 
 
-def _halo_conv(feats, tbl, w, cell_mask, koff, cell, q, compute_dtype):
-    """Shared body of conv_same/conv_down: halo-cell gather -> static
-    im2col -> one MXU GEMM (B*64, 27*Cin) @ (27*Cin, Cout)."""
+def _halo_dense_conv(feats, tbl, w, cell_mask, koff, cell, span, stride,
+                     compute_dtype):
+    """Shared body of conv_same/conv_down: halo-cell gather -> dense 3-D
+    VALID conv of the (B, span, span, span, Cin) halo on the MXU.
+
+    Measured on the v5e (scripts/profile_conv_variants.py): the dense-conv
+    formulation compiles in seconds and runs ~4x faster than 27 slice-GEMMs
+    and ~10x faster than a giant static im2col take; XLA's conv lowering
+    is only pathological at Cin=1 (conv1 avoids it, see conv1_occupancy).
+    """
     cin, cout = w.shape[1], w.shape[2]
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         w = w.astype(compute_dtype)
     halo = _halo_gather(feats, tbl, koff, cell)  # (B, span^3, C)
-    im = jnp.take(halo, jnp.asarray(q), axis=1)  # (B, 64*27, C) static
-    im = im.reshape(-1, 27 * cin)
-    out = jnp.dot(im, w.reshape(27 * cin, cout), preferred_element_type=jnp.float32)
+    h = halo.reshape(-1, span, span, span, cin)
+    out = jax.lax.conv_general_dilated(
+        h,
+        w.reshape(3, 3, 3, cin, cout),
+        (stride, stride, stride),
+        "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )  # (B, 4, 4, 4, Cout)
     out = out.reshape(-1, CELLS, cout)
     return jnp.where(cell_mask[..., None], out, 0.0)
-
-
-_DN = ("NDHWC", "DHWIO", "NDHWC")
-
-
-def _conv(lhs, rhs, strides=(1, 1, 1), lhs_dilation=None, padding="VALID"):
-    return jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=strides,
-        padding=padding,
-        lhs_dilation=lhs_dilation,
-        dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
 
 
 def conv_same(feats, tbl, w, cell_mask, compute_dtype=None):
     """Same-level 3^3 conv. feats (B,64,Cin), w (27,Cin,Cout) -> (B,64,Cout).
 
     out[u] = sum_d feats[u + d] @ w[d] over existing cells (ME gather-GEMM
-    semantics: missing neighbors skipped, outputs only on the dst set).
-    Halo-cell gather (216 rows/block) + static im2col + one MXU GEMM.
+    semantics: missing voxels contribute zero rows, outputs only on the
+    dst set — feats rows at unoccupied cells are kept zero upstream).
     """
-    return _halo_conv(
-        feats, tbl, w, cell_mask, _SAME_KOFF, _SAME_CELL, _SAME_Q, compute_dtype
+    return _halo_dense_conv(
+        feats, tbl, w, cell_mask, _SAME_KOFF, _SAME_CELL, 6, 1, compute_dtype
     )
 
 
 def conv_down(feats_src, down_tbl, w, dst_cell_mask, compute_dtype=None):
     """Stride-2 conv level l -> l+1. out[w] = sum_d src[2w + d] @ w[d].
-    Halo region is 9^3 src units from the blocks at 2B+delta."""
-    return _halo_conv(
+    Halo region is 9^3 src units from the blocks at 2B+delta; stride-2
+    VALID conv of the 9^3 halo yields the 4^3 dst cells."""
+    return _halo_dense_conv(
         feats_src, down_tbl, w, dst_cell_mask,
-        _DOWN_KOFF, _DOWN_CELL, _DOWN_Q, compute_dtype,
+        _DOWN_KOFF, _DOWN_CELL, 9, 2, compute_dtype,
     )
 
 
 def conv_up(feats_coarse, up_tbl, w, dst_cell_mask, compute_dtype=None):
     """Transposed conv level l+1 -> l (coordinate-inheritance semantics,
     reference ``src/convolution_transpose_gpu.cu``): out[u] = sum over d
-    with u+d even of coarse[(u+d)/2] @ w[d]. Expressed as an
-    lhs_dilation=2 conv over the per-fine-block 3^3 coarse region."""
+    with u+d even of coarse[(u+d)/2] @ w[d]. Expressed as a static
+    masked im2col over the per-fine-block 3^3 coarse region + one MXU
+    GEMM (conv_general_dilated compiles pathologically slowly under the
+    remote-compile path — matmuls are the fast lane)."""
     bf = up_tbl.shape[0]
     cin, cout = w.shape[1], w.shape[2]
     if compute_dtype is not None:
@@ -278,34 +323,56 @@ def conv_up(feats_coarse, up_tbl, w, dst_cell_mask, compute_dtype=None):
     fc = feats_coarse.reshape(-1, cin)
     reg = jnp.take(fc, jnp.clip(up_tbl, 0).astype(jnp.int32), axis=0)
     reg = jnp.where((up_tbl >= 0)[..., None], reg, jnp.zeros((), reg.dtype))
-    reg = reg.reshape(bf, 3, 3, 3, cin)
-    # dilated coarse grid: reg[i] at position 2i; pad (1,0) aligns
-    # out[u] = sum_k P[u+k] with P[1+2i] = reg[i] => reg[(u+d)/2], d=k-1
-    out = _conv(
-        reg,
-        w.reshape(3, 3, 3, cin, cout),
-        lhs_dilation=(2, 2, 2),
-        padding=((1, 0), (1, 0), (1, 0)),
-    )
+    # (bf, 27 region cells, cin) -> static im2col (bf, 64*27, cin):
+    # entry (u, d) reads region cell (u+d)/2, zero where u+d is odd
+    im = jnp.take(reg, jnp.asarray(_UP_RIDX), axis=1)
+    im = jnp.where(jnp.asarray(_UP_VALID)[None, :, None], im, jnp.zeros((), im.dtype))
+    im = im.reshape(bf * CELLS, 27 * cin)
+    out = jnp.dot(im, w.reshape(27 * cin, cout), preferred_element_type=jnp.float32)
     out = out.reshape(bf, CELLS, cout)
     return jnp.where(dst_cell_mask[..., None], out, 0.0)
 
 
 def conv1_occupancy(occ, tbl, w, cell_mask, kernel_size=7, compute_dtype=None):
-    """First conv over FCGF's all-ones input: dense conv of the 0/1
-    occupancy superblock (reference ``backbone/fcgf/misc.py:70`` feeds
-    ones, so only neighbor existence matters). w (K^3, 1, Cout)."""
+    """First conv over FCGF's all-ones input: occupancy halo + im2col GEMM
+    (reference ``backbone/fcgf/misc.py:70`` feeds ones, so only neighbor
+    existence matters). w (K^3, 1, Cout).
+
+    Cin=1 makes XLA's dense-conv lowering pathological (~10 min compiles
+    measured), so this path never touches lax.conv: the 0/1 halo is built
+    by a 27-neighbor block gather + one small static take, the im2col by
+    three per-axis takes (axis-factorized: each is a 4*K-entry static
+    take, avoiding the 64*K^3-entry take whose gather-expansion also
+    compiles pathologically), then one (B*64, K^3) @ (K^3, Cout) GEMM.
+    """
     ks = kernel_size
-    assert ks <= 9, "kernel must fit the 12^3 superblock halo"
+    assert ks <= 9, "kernel must fit the 27-neighbor halo"
+    b = tbl.shape[0]
     cout = w.shape[2]
-    occ_f = occ.astype(compute_dtype or jnp.float32)
+    cd = compute_dtype or jnp.float32
+    occ_f = occ.astype(cd)
     if compute_dtype is not None:
         w = w.astype(compute_dtype)
-    sup = gather_superblock(occ_f[..., None], tbl)  # (B,12,12,12,1)
-    r = (ks - 1) // 2
-    lhs = sup[:, 4 - r : 8 + r, 4 - r : 8 + r, 4 - r : 8 + r, :]
-    out = _conv(lhs, w.reshape(ks, ks, ks, 1, cout))
-    out = out.reshape(-1, CELLS, cout)
+    koff, cell, _ = _conv1_maps(ks)
+    span = BLOCK - 1 + ks
+    # halo occupancy (B, span^3): whole-block gather (27 rows of 64) then
+    # one span^3-entry static take
+    nbr = jnp.take(occ_f, jnp.clip(tbl, 0).astype(jnp.int32), axis=0)
+    nbr = jnp.where((tbl >= 0)[..., None], nbr, jnp.zeros((), nbr.dtype))
+    hidx = jnp.asarray(koff * 64 + cell)
+    halo = jnp.take(nbr.reshape(b, 27 * CELLS), hidx, axis=1)
+    # axis-factorized im2col: (B, span,span,span) -> (B, 4K,4K,4K)
+    u = np.arange(BLOCK)
+    o = np.arange(ks)
+    idx1 = jnp.asarray((u[:, None] + o[None, :]).reshape(-1))  # (4K,)
+    h = halo.reshape(b, span, span, span)
+    h = jnp.take(h, idx1, axis=1)
+    h = jnp.take(h, idx1, axis=2)
+    h = jnp.take(h, idx1, axis=3)
+    h = h.reshape(b, BLOCK, ks, BLOCK, ks, BLOCK, ks)
+    h = h.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b * CELLS, ks**3)
+    out = jnp.dot(h, w.reshape(ks**3, cout), preferred_element_type=jnp.float32)
+    out = out.reshape(b, CELLS, cout)
     return jnp.where(cell_mask[..., None], out, 0.0)
 
 

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--skip_full_chain", action="store_true",
                     help="only the backbone+GF mutual/yohoc baseline")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced capacities/cloud sizes (CPU-tractable)")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
     args = ap.parse_args()
 
@@ -71,17 +73,34 @@ def main():
     def log(msg):
         print(f"[quality +{time.time() - t_start:.0f}s] {msg}", flush=True)
 
-    cfg = PipelineConfig(
-        voxel_size=0.025,
-        group_size=args.group_size,
-        capacities=(16384, 8192, 4096, 2048),
-        conv1_kernel_size=5,
-        group_chunk=6 if args.group_size == 60 else 4,
-        num_keypoints=2048,
-        keynum=2048,
-        max_iter=1000,
-        ransac_ird=0.07,
-    )
+    if args.small:
+        # CPU-tractable: coarser voxels + smaller clouds shrink every graph
+        cfg = PipelineConfig(
+            voxel_size=0.05,
+            group_size=args.group_size,
+            capacities=(8192, 4096, 2048, 1024),
+            block_caps=(1024, 512, 256, 128),
+            conv1_kernel_size=5,
+            group_chunk=6 if args.group_size == 60 else 4,
+            num_keypoints=1024,
+            keynum=1024,
+            max_iter=1000,
+            ransac_ird=0.1,
+        )
+        ppc = 8000
+    else:
+        cfg = PipelineConfig(
+            voxel_size=0.025,
+            group_size=args.group_size,
+            capacities=(16384, 8192, 4096, 2048),
+            conv1_kernel_size=5,
+            group_chunk=6 if args.group_size == 60 else 4,
+            num_keypoints=2048,
+            keynum=2048,
+            max_iter=1000,
+            ransac_ird=0.07,
+        )
+        ppc = 20000
     rng = np.random.default_rng(0)
     scenes = []
     root = os.path.join(REPO, "data", "quality_scenes")
@@ -89,13 +108,13 @@ def main():
         scenes.append(
             make_synthetic_scene(
                 os.path.join(root, f"scene{i}"), rng, num_clouds=3,
-                points_per_cloud=20000, num_keypoints=cfg.num_keypoints,
+                points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
                 overlap=0.8, max_angle_deg=50.0,
             )
         )
     test_scene = make_synthetic_scene(
         os.path.join(root, "test"), rng, num_clouds=2,
-        points_per_cloud=20000, num_keypoints=cfg.num_keypoints,
+        points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
         overlap=0.8, max_angle_deg=40.0,
     )
     log("scenes built")
