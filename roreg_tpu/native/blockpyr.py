@@ -28,6 +28,7 @@ __all__ = [
     "alloc_block_buffers_packed",
     "payload_spec",
     "fill_block_pyramid_host",
+    "fill_block_pyramid_numpy",
     "build_block_pyramid_host",
     "block_tree_slice",
 ]
@@ -80,7 +81,6 @@ def alloc_block_buffers(
         down_tbl=down,
         up_tbl=up,
         l0_coords=arr((caps[0], 3), np.int16),
-        rep_frac=arr((caps[0], CELLS, 3), np.uint8),
         origin=arr((3,), np.int32),
     )
 
@@ -100,7 +100,6 @@ def payload_spec(
     for l in range(num_levels - 1):
         fields.append((f"up{l}", (caps[l], 27), np.int32))
     fields.append(("l0_coords", (caps[0], 3), np.int16))
-    fields.append(("rep_frac", (caps[0], CELLS, 3), np.uint8))
     fields.append(("origin", (3,), np.int32))
     spec, off = [], 0
     for name, shape, dt in fields:
@@ -120,7 +119,6 @@ def _tree_from_fields(f, num_levels: int) -> BlockPyramidDev:
         down_tbl=tuple(f[f"down{l}"] for l in range(num_levels - 1)),
         up_tbl=tuple(f[f"up{l}"] for l in range(num_levels - 1)),
         l0_coords=f["l0_coords"],
-        rep_frac=f["rep_frac"],
         origin=f["origin"],
     )
 
@@ -171,13 +169,55 @@ def fill_block_pyramid_host(
     out: BlockPyramidDev,
     num_levels: int = 4,
     warn_overflow: bool = True,
+    keys: np.ndarray | None = None,
+    key_rows: np.ndarray | None = None,
 ) -> int:
     """Fill preallocated buffers in place; returns total dropped blocks.
+    When ``keys`` (K, 3) and ``key_rows`` (K,) int32 are given, also
+    resolves each keypoint to the flat level-0 cell row of its nearest
+    surviving voxel (testset.py:168-171 keypoint kNN, host-side).
+
+    Dispatches to the C++ builder (voxelhash.cpp build_block_pyramid; one
+    GIL-free call, ~11x the numpy path and thread-scalable) with the numpy
+    implementation as the toolchain-free fallback and parity oracle
+    (tests/test_block.py::test_native_block_builder_parity).
 
     Capacity overflow is LOUD (stderr warning + return count), never a
     silent truncation: dropped blocks are the largest packed keys, and
-    every cross-reference (tables, rep points) treats them as absent.
+    every cross-reference (tables, key rows) treats them as absent.
     """
+    pts = np.ascontiguousarray(points, np.float32)
+    from roreg_tpu.native.lib import build_block_pyramid_native
+
+    dropped_native = build_block_pyramid_native(
+        pts, voxel_size, out, num_levels, keys=keys, key_rows=key_rows
+    )
+    if dropped_native is not None:
+        if dropped_native and warn_overflow:
+            print(
+                f"[blockpyr] {dropped_native} blocks exceed level capacities "
+                "— dropped (largest keys); raise block_caps",
+                file=sys.stderr,
+                flush=True,
+            )
+        return int(dropped_native)
+    return fill_block_pyramid_numpy(
+        pts, voxel_size, out, num_levels, warn_overflow,
+        keys=keys, key_rows=key_rows,
+    )
+
+
+def fill_block_pyramid_numpy(
+    points: np.ndarray,
+    voxel_size: float,
+    out: BlockPyramidDev,
+    num_levels: int = 4,
+    warn_overflow: bool = True,
+    keys: np.ndarray | None = None,
+    key_rows: np.ndarray | None = None,
+) -> int:
+    """Vectorized-numpy block-pyramid builder: the fallback + parity oracle
+    for the C++ path (same drop-largest-keys overflow semantics)."""
     pts = np.ascontiguousarray(points, np.float32)
     to_voxel, rep, coords0 = voxelize_host(pts, voxel_size)
     if len(coords0) == 0:
@@ -187,9 +227,10 @@ def fill_block_pyramid_host(
         for l in range(num_levels - 1):
             out.down_tbl[l][:] = -1
             out.up_tbl[l][:] = -1
-        out.rep_frac[:] = 0
         out.l0_coords[:] = 0
         out.origin[:] = 0
+        if key_rows is not None:
+            key_rows[:] = -1
         return 0
     origin = coords0.min(axis=0)
     units0 = coords0 - origin  # level-0 unit coords, non-negative
@@ -277,19 +318,28 @@ def fill_block_pyramid_host(
         out.up_tbl[l][:nf] = flat
         out.up_tbl[l][nf:] = -1
 
-    # level-0 representative points, quantized in-voxel fractions
     out.l0_coords[: len(block_coords[0])] = block_coords[0].astype(np.int16)
     out.l0_coords[len(block_coords[0]):] = 0
-    out.rep_frac[:] = 0
-    bc0 = units0 // BLOCK
-    row0 = _lookup_blocks(block_keys[0], bc0)
-    keep0 = row0 >= 0
-    cell0 = units0 % BLOCK
-    cidx0 = (cell0[:, 0] * 16 + cell0[:, 1] * 4 + cell0[:, 2]).astype(np.int32)
-    frac = pts[rep] / voxel_size - coords0  # in [0, 1)
-    q8 = np.clip(np.floor(frac * 256.0), 0, 255).astype(np.uint8)
-    out.rep_frac[row0[keep0], cidx0[keep0]] = q8[keep0]
     out.origin[:] = origin
+
+    # keypoint -> flat level-0 cell row of the nearest surviving voxel's
+    # representative point (host-side testset.py kNN)
+    if keys is not None and key_rows is not None and len(keys):
+        bc0 = units0 // BLOCK
+        row0 = _lookup_blocks(block_keys[0], bc0)  # per-voxel block row
+        cell0 = units0 % BLOCK
+        cidx0 = (cell0[:, 0] * 16 + cell0[:, 1] * 4 + cell0[:, 2]).astype(np.int32)
+        flat0 = np.where(row0 >= 0, row0 * CELLS + cidx0, -1)
+        rep_pts = pts[rep]  # (n_vox, 3), aligned with flat0
+        valid = flat0 >= 0
+        vp = rep_pts[valid]
+        vf = flat0[valid]
+        ks = np.ascontiguousarray(keys, np.float32)
+        # chunked brute force (the oracle path; C++ does ring search)
+        for s in range(0, len(ks), 512):
+            q = ks[s:s + 512]
+            d = ((q[:, None] - vp[None]) ** 2).sum(-1)
+            key_rows[s:s + 512] = vf[d.argmin(1)] if len(vp) else -1
     return dropped
 
 

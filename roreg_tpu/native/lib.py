@@ -20,6 +20,7 @@ __all__ = [
     "voxelize_host",
     "voxel_nn_host",
     "mutual_pairs_host",
+    "build_block_pyramid_native",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -87,6 +88,18 @@ def _load():
         lib.neighbor_occupancy.argtypes = [
             i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int32, u32p,
+        ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i16p_w = np.ctypeslib.ndpointer(np.int16, flags=("C_CONTIGUOUS", "WRITEABLE"))
+        lib.build_block_pyramid.restype = ctypes.c_int64
+        lib.build_block_pyramid.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_float, i64p, ctypes.c_int64,
+            u32p, u32p, u32p, u32p,
+            i16p_w, i16p_w, i16p_w, i16p_w,
+            i16p_w, i16p_w, i16p_w,
+            i32p, i32p, i32p,
+            i16p_w, i32p,
+            f32p, ctypes.c_int64, i32p,
         ]
         _lib = lib
         return _lib
@@ -247,3 +260,37 @@ def mutual_pairs_host(
     out = np.empty((len(k0), 2), np.int32)
     np_ = lib.mutual_pairs(k0, len(k0), k1, len(k1), thre, out)
     return out[:np_].copy()
+
+
+def build_block_pyramid_native(
+    points, voxel_size, out, num_levels=4, keys=None, key_rows=None
+):
+    """Fill a preallocated BlockPyramidDev (numpy views, one batch slot)
+    entirely in C++ (one GIL-free call), optionally also resolving
+    keypoints to flat level-0 cell rows (the host-side testset.py kNN).
+    Returns dropped block count, or None when the native library is
+    unavailable (caller falls back to the numpy builder in
+    native/blockpyr.py)."""
+    lib = _load()
+    if lib is None or num_levels != 4:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    caps = np.asarray(
+        [out.levels[l].occ_words.shape[0] for l in range(4)], np.int64
+    )
+    if keys is None:
+        keys = np.empty((0, 3), np.float32)
+    keys = np.ascontiguousarray(keys, np.float32)
+    if key_rows is None:
+        key_rows = np.empty(len(keys), np.int32)
+    return lib.build_block_pyramid(
+        pts, len(pts), voxel_size, caps, 4,
+        out.levels[0].occ_words, out.levels[1].occ_words,
+        out.levels[2].occ_words, out.levels[3].occ_words,
+        out.levels[0].same_tbl, out.levels[1].same_tbl,
+        out.levels[2].same_tbl, out.levels[3].same_tbl,
+        out.down_tbl[0], out.down_tbl[1], out.down_tbl[2],
+        out.up_tbl[0], out.up_tbl[1], out.up_tbl[2],
+        out.l0_coords, out.origin,
+        keys, len(keys), key_rows,
+    )

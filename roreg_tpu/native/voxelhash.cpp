@@ -411,3 +411,285 @@ void neighbor_table16(const int32_t* src_coords, int64_t n_src,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Block-pyramid builder: the block-dense engine's entire host-side map
+// construction for one rotation, in one GIL-free call (the numpy version in
+// native/blockpyr.py costs ~43 ms/rotation and thread-scales poorly; this
+// runs in a few ms and scales across the extractor's thread pool).
+//
+// Replaces (TPU-natively): reference MinkowskiEngine coordinate manager
+// kernel-map construction (src/coordinate_map_manager.cpp:1446) at block
+// granularity. Offset enumeration is row-major with dx slowest, matching
+// roreg_tpu.sparse.kernel_map.hypercube_offsets(3).
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace {
+
+inline uint64_t pack_block(int32_t bx, int32_t by, int32_t bz) {
+  // matches blockpyr._pack_blocks: (bx<<16)|(by<<8)|bz with coords in [0,256)
+  return ((uint64_t)bx << 16) | ((uint64_t)by << 8) | (uint64_t)bz;
+}
+
+struct BlockLevel {
+  std::vector<uint64_t> keys;   // sorted block keys (kept, <= cap)
+  std::vector<int32_t> coords;  // n*3 block coords
+  HashMap map;                  // key -> row
+  BlockLevel() : map(16) {}
+};
+
+// find row of block (bx,by,bz); -1 when absent or out of [0,256)
+inline int32_t block_row(const BlockLevel& L, int32_t bx, int32_t by,
+                         int32_t bz) {
+  if ((uint32_t)bx >= 256u || (uint32_t)by >= 256u || (uint32_t)bz >= 256u)
+    return -1;
+  return L.map.find(pack_block(bx, by, bz));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the 4-level block pyramid for one rotated cloud, plus the
+// keypoint -> level-0 flat cell row association (the testset.py keypoint
+// kNN done host-side: nearest per-voxel representative point, searched in
+// widening voxel rings with a brute-force fallback, so it matches the
+// device global argmin; -1 only when the cloud is empty).
+// pts (n*3) f32; caps[num_levels]; outputs are the packed-payload views:
+//   occ_l    caps[l]*2  u32 (zeroed here)
+//   same_l   caps[l]*27 i16 (-1 padded)
+//   down_l   caps[l+1]*27 i16   up_l caps[l]*27 i32
+//   l0_coords caps[0]*3 i16, origin 3 i32
+//   keys (nk*3) f32 in the SAME rotated frame -> key_rows (nk) i32
+// Returns dropped block count (capacity overflow, largest keys dropped).
+int64_t build_block_pyramid(
+    const float* pts, int64_t n, float voxel_size, const int64_t* caps,
+    int64_t num_levels,
+    uint32_t* occ0, uint32_t* occ1, uint32_t* occ2, uint32_t* occ3,
+    int16_t* same0, int16_t* same1, int16_t* same2, int16_t* same3,
+    int16_t* down0, int16_t* down1, int16_t* down2,
+    int32_t* up0, int32_t* up1, int32_t* up2,
+    int16_t* l0_coords, int32_t* origin,
+    const float* keys, int64_t nk, int32_t* key_rows) {
+  uint32_t* occ[4] = {occ0, occ1, occ2, occ3};
+  int16_t* same[4] = {same0, same1, same2, same3};
+  int16_t* down[3] = {down0, down1, down2};
+  int32_t* up[3] = {up0, up1, up2};
+
+  // pad state
+  for (int l = 0; l < num_levels; ++l) {
+    std::memset(occ[l], 0, (size_t)caps[l] * 2 * sizeof(uint32_t));
+    std::fill(same[l], same[l] + caps[l] * 27, (int16_t)-1);
+  }
+  for (int l = 0; l + 1 < num_levels; ++l) {
+    std::fill(down[l], down[l] + caps[l + 1] * 27, (int16_t)-1);
+    std::fill(up[l], up[l] + caps[l] * 27, -1);
+  }
+  std::memset(l0_coords, 0, (size_t)caps[0] * 3 * sizeof(int16_t));
+  origin[0] = origin[1] = origin[2] = 0;
+  if (nk > 0) std::fill(key_rows, key_rows + nk, -1);
+  if (n == 0) return 0;
+
+  // 1) voxelize
+  std::vector<int32_t> vox_coords(n * 3), rep_index(n);
+  int64_t n_vox;
+  {
+    std::vector<int32_t> to_voxel(n);
+    n_vox = voxelize_hash(pts, n, voxel_size, to_voxel.data(),
+                          rep_index.data(), vox_coords.data());
+  }
+
+  // 2) origin shift -> level-0 unit coords
+  int32_t ox = vox_coords[0], oy = vox_coords[1], oz = vox_coords[2];
+  for (int64_t v = 1; v < n_vox; ++v) {
+    ox = std::min(ox, vox_coords[v * 3]);
+    oy = std::min(oy, vox_coords[v * 3 + 1]);
+    oz = std::min(oz, vox_coords[v * 3 + 2]);
+  }
+  origin[0] = ox; origin[1] = oy; origin[2] = oz;
+
+  // per-level unit coords (dedup by hash)
+  std::vector<std::vector<int32_t>> units(num_levels);
+  units[0].resize(n_vox * 3);
+  for (int64_t v = 0; v < n_vox; ++v) {
+    units[0][v * 3] = vox_coords[v * 3] - ox;
+    units[0][v * 3 + 1] = vox_coords[v * 3 + 1] - oy;
+    units[0][v * 3 + 2] = vox_coords[v * 3 + 2] - oz;
+  }
+  for (int64_t l = 1; l < num_levels; ++l) {
+    const auto& prev = units[l - 1];
+    int64_t m = (int64_t)prev.size() / 3;
+    HashMap hm(m);
+    int32_t next = 0;
+    auto& cur = units[l];
+    cur.reserve(m * 3 / 4);
+    for (int64_t i = 0; i < m; ++i) {
+      int32_t x = prev[i * 3] >> 1, y = prev[i * 3 + 1] >> 1,
+              z = prev[i * 3 + 2] >> 1;
+      bool ins = false;
+      hm.get_or_insert(pack(x, y, z), next, &ins);
+      if (ins) {
+        ++next;
+        cur.push_back(x); cur.push_back(y); cur.push_back(z);
+      }
+    }
+  }
+
+  // 3) per-level blocks: unique, sorted ascending, capacity-capped
+  int64_t dropped = 0;
+  std::vector<BlockLevel> levels(num_levels);
+  for (int64_t l = 0; l < num_levels; ++l) {
+    const auto& u = units[l];
+    int64_t m = (int64_t)u.size() / 3;
+    HashMap seen(m / 16 + 16);
+    int32_t next = 0;
+    auto& keys = levels[l].keys;
+    for (int64_t i = 0; i < m; ++i) {
+      bool ins = false;
+      seen.get_or_insert(
+          pack_block(u[i * 3] >> 2, u[i * 3 + 1] >> 2, u[i * 3 + 2] >> 2),
+          next, &ins);
+      if (ins) { ++next; keys.push_back(
+          pack_block(u[i * 3] >> 2, u[i * 3 + 1] >> 2, u[i * 3 + 2] >> 2)); }
+    }
+    std::sort(keys.begin(), keys.end());
+    if ((int64_t)keys.size() > caps[l]) {
+      dropped += (int64_t)keys.size() - caps[l];
+      keys.resize(caps[l]);
+    }
+    int64_t nb = (int64_t)keys.size();
+    levels[l].coords.resize(nb * 3);
+    levels[l].map = HashMap(nb);
+    for (int64_t b = 0; b < nb; ++b) {
+      uint64_t k = keys[b];
+      int32_t bx = (int32_t)((k >> 16) & 255), by = (int32_t)((k >> 8) & 255),
+              bz = (int32_t)(k & 255);
+      levels[l].coords[b * 3] = bx;
+      levels[l].coords[b * 3 + 1] = by;
+      levels[l].coords[b * 3 + 2] = bz;
+      bool ins = false;
+      levels[l].map.get_or_insert(k, (int32_t)b, &ins);
+    }
+
+    // occupancy bits
+    for (int64_t i = 0; i < m; ++i) {
+      int32_t x = u[i * 3], y = u[i * 3 + 1], z = u[i * 3 + 2];
+      int32_t row = block_row(levels[l], x >> 2, y >> 2, z >> 2);
+      if (row < 0) continue;
+      int32_t cell = (x & 3) * 16 + (y & 3) * 4 + (z & 3);
+      occ[l][row * 2 + (cell >> 5)] |= (uint32_t)1u << (cell & 31);
+    }
+
+    // same-level 27-neighbor table
+    for (int64_t b = 0; b < nb; ++b) {
+      int32_t bx = levels[l].coords[b * 3], by = levels[l].coords[b * 3 + 1],
+              bz = levels[l].coords[b * 3 + 2];
+      int16_t* row = same[l] + b * 27;
+      int k27 = 0;
+      for (int dx = -1; dx <= 1; ++dx)
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dz = -1; dz <= 1; ++dz)
+            row[k27++] = (int16_t)block_row(levels[l], bx + dx, by + dy, bz + dz);
+    }
+  }
+
+  // 4) down/up tables
+  for (int64_t l = 0; l + 1 < num_levels; ++l) {
+    int64_t nd = (int64_t)levels[l + 1].keys.size();
+    for (int64_t b = 0; b < nd; ++b) {
+      int32_t bx = levels[l + 1].coords[b * 3] * 2,
+              by = levels[l + 1].coords[b * 3 + 1] * 2,
+              bz = levels[l + 1].coords[b * 3 + 2] * 2;
+      int16_t* row = down[l] + b * 27;
+      int k27 = 0;
+      for (int dx = -1; dx <= 1; ++dx)
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dz = -1; dz <= 1; ++dz)
+            row[k27++] = (int16_t)block_row(levels[l], bx + dx, by + dy, bz + dz);
+    }
+    int64_t nf = (int64_t)levels[l].keys.size();
+    for (int64_t b = 0; b < nf; ++b) {
+      int32_t bx = levels[l].coords[b * 3] * 2,
+              by = levels[l].coords[b * 3 + 1] * 2,
+              bz = levels[l].coords[b * 3 + 2] * 2;
+      int32_t* row = up[l] + b * 27;
+      int k27 = 0;
+      for (int di = 0; di <= 2; ++di)
+        for (int dj = 0; dj <= 2; ++dj)
+          for (int dk = 0; dk <= 2; ++dk) {
+            int32_t wx = bx + di, wy = by + dj, wz = bz + dk;
+            int32_t cr = block_row(levels[l + 1], wx >> 2, wy >> 2, wz >> 2);
+            row[k27++] = cr < 0 ? -1
+                : cr * 64 + (wx & 3) * 16 + (wy & 3) * 4 + (wz & 3);
+          }
+    }
+  }
+
+  // 5) level-0 block coords
+  int64_t nb0 = (int64_t)levels[0].keys.size();
+  for (int64_t b = 0; b < nb0; ++b) {
+    l0_coords[b * 3] = (int16_t)levels[0].coords[b * 3];
+    l0_coords[b * 3 + 1] = (int16_t)levels[0].coords[b * 3 + 1];
+    l0_coords[b * 3 + 2] = (int16_t)levels[0].coords[b * 3 + 2];
+  }
+
+  // 6) keypoint -> flat level-0 cell row: nearest surviving voxel's rep
+  // point (testset.py:168-171 keypoint kNN, moved host-side)
+  if (nk > 0) {
+    // voxel-coord hash -> voxel id (pre-origin-shift coords)
+    HashMap vmap(n_vox);
+    for (int64_t v = 0; v < n_vox; ++v) {
+      bool ins = false;
+      vmap.get_or_insert(
+          pack(vox_coords[v * 3], vox_coords[v * 3 + 1], vox_coords[v * 3 + 2]),
+          (int32_t)v, &ins);
+    }
+    auto flat_row = [&](int64_t v) -> int32_t {
+      int32_t x = units[0][v * 3], y = units[0][v * 3 + 1],
+              z = units[0][v * 3 + 2];
+      int32_t row = block_row(levels[0], x >> 2, y >> 2, z >> 2);
+      if (row < 0) return -1;
+      return row * 64 + (x & 3) * 16 + (y & 3) * 4 + (z & 3);
+    };
+    const float inv = 1.0f / voxel_size;
+    for (int64_t q = 0; q < nk; ++q) {
+      float qx = keys[q * 3], qy = keys[q * 3 + 1], qz = keys[q * 3 + 2];
+      int32_t cx = (int32_t)std::floor(qx * inv),
+              cy = (int32_t)std::floor(qy * inv),
+              cz = (int32_t)std::floor(qz * inv);
+      float best = 1e30f;
+      int32_t best_row = -1;
+      // full 5^3 neighborhood in one pass (a 2-voxel ring bounds the
+      // global argmin whenever any candidate exists within 2 cells, so
+      // this matches the device kNN except for far-field fallbacks)
+      for (int dx = -2; dx <= 2; ++dx)
+        for (int dy = -2; dy <= 2; ++dy)
+          for (int dz = -2; dz <= 2; ++dz) {
+            int32_t v = vmap.find(pack(cx + dx, cy + dy, cz + dz));
+            if (v < 0) continue;
+            int32_t row = flat_row(v);
+            if (row < 0) continue;
+            const float* p = pts + (int64_t)rep_index[v] * 3;
+            float ddx = p[0] - qx, ddy = p[1] - qy, ddz = p[2] - qz;
+            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 < best) { best = d2; best_row = row; }
+          }
+      if (best_row < 0) {  // rare: brute-force over all voxels
+        for (int64_t v = 0; v < n_vox; ++v) {
+          int32_t row = flat_row(v);
+          if (row < 0) continue;
+          const float* p = pts + (int64_t)rep_index[v] * 3;
+          float ddx = p[0] - qx, ddy = p[1] - qy, ddz = p[2] - qz;
+          float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+          if (d2 < best) { best = d2; best_row = row; }
+        }
+      }
+      key_rows[q] = best_row;
+    }
+  }
+  return dropped;
+}
+
+}  // extern "C"

@@ -263,20 +263,15 @@ def extract_group_features_hostmaps(
 def _backbone_chunk_blocks(
     backbone_variables,
     payload: jnp.ndarray,
-    keys_rot: jnp.ndarray,
+    key_rows: jnp.ndarray,
     cfg: PipelineConfig,
     chunk: int,
 ) -> jnp.ndarray:
     """Jitted per-chunk forward on the block-dense engine: unpack the
     single uint8 payload into per-rotation block pyramids, run the
-    BlockResUNet + keypoint kNN per rotation. keys_rot (chunk, K, 3) ->
-    (chunk, K, 32)."""
-    from roreg_tpu.sparse.block import (
-        BlockResUNet,
-        block_rep_points,
-        unpack_block_payload,
-        unpack_cell_occupancy,
-    )
+    BlockResUNet per rotation, read keypoint features at the host-resolved
+    flat cell rows. key_rows (chunk, K) int32 -> (chunk, K, 32)."""
+    from roreg_tpu.sparse.block import BlockResUNet, unpack_block_payload
 
     net = BlockResUNet(
         variant=cfg.backbone_variant,
@@ -287,17 +282,15 @@ def _backbone_chunk_blocks(
     bpyr_stack = unpack_block_payload(payload, cfg.block_caps, chunk)
 
     def one(args):
-        bp, keys_r = args
+        bp, rows = args
         feats = net.apply(backbone_variables, bp, False)  # (Bcap0*64, 32)
-        rep = block_rep_points(bp.l0_coords, bp.rep_frac, bp.origin, cfg.voxel_size)
-        occ = unpack_cell_occupancy(bp.levels[0].occ_words).reshape(-1)
-        _, idx = knn_nn(keys_r, rep, ref_mask=occ)
-        return feats[idx]
+        f = feats[jnp.clip(rows, 0)]
+        return jnp.where((rows >= 0)[:, None], f, 0.0)
 
-    # sequential over the chunk's rotations: one rotation's 12^3 superblock
-    # intermediates peak at ~0.7 GB (L0, 64ch); vmapping the chunk would
+    # sequential over the chunk's rotations: one rotation's halo
+    # intermediates peak at ~0.5 GB (L0, 64ch); vmapping the chunk would
     # multiply that by group_chunk and exhaust HBM
-    return jax.lax.map(one, (bpyr_stack, keys_rot))
+    return jax.lax.map(one, (bpyr_stack, key_rows))
 
 
 def extract_group_features_blocks(
@@ -332,10 +325,14 @@ def extract_group_features_blocks(
     kps = np.ascontiguousarray(keypoints, np.float32)
 
     # each slot: one contiguous uint8 payload + a typed view-tree into it;
-    # shipping the payload is ONE host->device put per chunk
+    # shipping the payload is ONE host->device put per chunk. Keypoint ->
+    # cell-row association happens inside the same C++ call, so only a
+    # (chunk, K) int32 row array rides along.
     bufs = [alloc_block_buffers_packed(cfg.block_caps, chunk) for _ in range(2)]
-    keys_bufs = [np.empty((chunk, kps.shape[0], 3), np.float32) for _ in range(2)]
-    pool = ThreadPoolExecutor(max_workers=2)
+    keys_bufs = [
+        np.empty((chunk, kps.shape[0]), np.int32) for _ in range(2)
+    ]
+    pool = ThreadPoolExecutor(max_workers=4)
 
     def build_chunk(c0, slot):
         (payload, tree), kb = bufs[slot], keys_bufs[slot]
@@ -343,9 +340,9 @@ def extract_group_features_blocks(
         def one(gi):
             R = rots[c0 + gi]
             fill_block_pyramid_host(
-                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi)
+                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi),
+                keys=kps @ R.T, key_rows=kb[gi],
             )
-            kb[gi] = kps @ R.T
 
         list(pool.map(one, range(chunk)))
         return payload, kb

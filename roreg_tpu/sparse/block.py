@@ -69,7 +69,7 @@ __all__ = [
     "unpack_block_payload",
     "gather_superblock",
     "BlockResUNet",
-    "block_rep_points",
+    "block_cell_centers",
 ]
 
 BLOCK = 4  # cells per axis; 64 cells per block
@@ -97,17 +97,18 @@ class BlockPyramidDev(NamedTuple):
     down_tbl:  (Bcap_{l+1}, 27) src-level block rows at 2*B+delta.
     up_tbl:    (Bcap_l, 27) flat coarse cell rows (= blk*64 + cell) of
                the 3^3 coarse-unit region [2b, 2b+2]; -1 absent.
-    l0_coords: (Bcap_0, 3) int16 level-0 block coords (for rep points).
-    rep_frac:  (Bcap_0, 64, 3) uint8 — representative point's in-voxel
-               fraction, quantized to 1/256 voxel.
+    l0_coords: (Bcap_0, 3) int16 level-0 block coords.
     origin:    (3,) int32 integer voxel coords of the grid origin.
+
+    Keypoint -> voxel association happens HOST-side (the C++ builder's
+    key_rows output): keypoint features are ``feats[key_rows]``, so no
+    representative points or kNN live on device at all.
     """
 
     levels: tuple
     down_tbl: tuple
     up_tbl: tuple
     l0_coords: jnp.ndarray
-    rep_frac: jnp.ndarray
     origin: jnp.ndarray
 
 
@@ -376,22 +377,19 @@ def conv1_occupancy(occ, tbl, w, cell_mask, kernel_size=7, compute_dtype=None):
     return jnp.where(cell_mask[..., None], out, 0.0)
 
 
-def block_rep_points(
+def block_cell_centers(
     l0_coords: jnp.ndarray,
-    rep_frac: jnp.ndarray,
     origin: jnp.ndarray,
     voxel_size: float,
 ) -> jnp.ndarray:
-    """Reconstruct (Bcap*64, 3) f32 representative points from the compact
-    payload: p = (block*4 + cell + origin + frac/256) * voxel_size."""
+    """(Bcap*64, 3) f32 voxel-center points of every level-0 cell (debug /
+    visualization helper; keypoint association itself is host-side)."""
     bcap = l0_coords.shape[0]
     cell = jnp.arange(CELLS, dtype=jnp.int32)
     cell_off = jnp.stack([cell // 16, (cell // 4) % 4, cell % 4], axis=-1)
     units = l0_coords.astype(jnp.int32)[:, None, :] * BLOCK + cell_off[None]
     p = (
-        units.astype(jnp.float32)
-        + origin.astype(jnp.float32)[None, None]
-        + rep_frac.astype(jnp.float32) * (1.0 / 256.0)
+        units.astype(jnp.float32) + origin.astype(jnp.float32)[None, None] + 0.5
     ) * voxel_size
     return p.reshape(bcap * CELLS, 3)
 
@@ -467,7 +465,7 @@ class BlockResUNet(nn.Module):
     row-gather engine drive this module unchanged. Features flow as
     (Bcap_l, 64, C); returns (Bcap_0 * 64, out_channels) L2-normalized
     rows (zero at unoccupied cells), aligned with
-    :func:`block_rep_points` rows for keypoint lookup.
+    the host-resolved keypoint cell rows for keypoint lookup.
     """
 
     variant: str = "ResUNetBN2C"

@@ -19,7 +19,6 @@ from roreg_tpu.sparse.block import (
     BLOCK,
     CELLS,
     BlockResUNet,
-    block_rep_points,
     unpack_cell_occupancy,
 )
 from roreg_tpu.sparse.resunet import ResUNet
@@ -96,25 +95,34 @@ def test_backbone_parity_with_gather_engine():
     np.testing.assert_allclose(g, b, atol=2e-4, rtol=1e-3)
 
 
-def test_rep_points_parity():
+def test_key_rows_match_device_knn():
+    """Host-side keypoint->cell-row association == the device kNN over
+    rep points (testset.py:168-171 semantics), modulo distance ties."""
+    from roreg_tpu.native.blockpyr import alloc_block_buffers
+    from roreg_tpu.native.blockpyr import fill_block_pyramid_host
+
     pts = _cloud(500, seed=5)
+    keys = pts[::17][:24]
     gpyr = build_pyramid_host(pts, VS, GCAPS)
-    bpyr = build_block_pyramid_host(pts, VS, BCAPS)
-    rep = np.asarray(
-        block_rep_points(
-            jnp.asarray(bpyr.l0_coords),
-            jnp.asarray(bpyr.rep_frac),
-            jnp.asarray(bpyr.origin),
-            VS,
-        )
-    )
-    occ = np.asarray(unpack_cell_occupancy(jnp.asarray(bpyr.levels[0].occ_words)))
-    rows = _match_rows(gpyr, bpyr)
+    buf = alloc_block_buffers(BCAPS)
+    key_rows = np.full(len(keys), -2, np.int32)
+    fill_block_pyramid_host(pts, VS, buf, keys=keys, key_rows=key_rows)
+    assert (key_rows >= 0).all()
+
+    # oracle: nearest grid rep point, mapped to the block flat row
+    rows = dict(_match_rows(gpyr, buf))
     grep = np.asarray(gpyr.grid.rep_point)
-    for i, j in rows:
-        assert occ.reshape(-1)[j]
-        # same representative point up to the 1/256-voxel quantization
-        np.testing.assert_allclose(rep[j], grep[i], atol=VS / 200.0)
+    gmask = np.asarray(gpyr.levels[0].mask)
+    occ = np.asarray(
+        unpack_cell_occupancy(jnp.asarray(buf.levels[0].occ_words))
+    ).reshape(-1)
+    agree = 0
+    for q, kr in zip(keys, key_rows):
+        assert occ[kr], "key row must be an occupied cell"
+        d = np.linalg.norm(grep - q, axis=-1) + np.where(gmask, 0, 1e9)
+        expect = rows[int(d.argmin())]
+        agree += int(expect == kr)
+    assert agree >= len(keys) - 1  # ties may flip at most rarely
 
 
 def test_occupancy_counts():
@@ -196,3 +204,51 @@ def test_empty_cloud():
     dropped = fill_block_pyramid_host(np.zeros((0, 3), np.float32), VS, buf)
     assert dropped == 0
     assert not np.asarray(buf.levels[0].occ_words).any()
+
+
+def test_native_block_builder_parity():
+    """C++ build_block_pyramid == numpy builder, field by field (same
+    sorted-key block order, same drop-largest overflow semantics)."""
+    from roreg_tpu.native.blockpyr import fill_block_pyramid_numpy
+    from roreg_tpu.native.lib import build_block_pyramid_native
+
+    for seed, n, extent in ((0, 800, 1.2), (3, 2500, 2.0), (9, 60, 0.4)):
+        pts = _cloud(n, seed=seed, extent=extent)
+        keys = pts[:: max(n // 40, 1)]
+        a = alloc_block_buffers(BCAPS)
+        b = alloc_block_buffers(BCAPS)
+        kr_a = np.empty(len(keys), np.int32)
+        kr_b = np.empty(len(keys), np.int32)
+        dn = build_block_pyramid_native(pts, VS, a, keys=keys, key_rows=kr_a)
+        if dn is None:
+            pytest.skip("native toolchain unavailable")
+        dm = fill_block_pyramid_numpy(
+            pts, VS, b, warn_overflow=False, keys=keys, key_rows=kr_b
+        )
+        assert dn == dm
+        import jax
+
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        # ring search vs global brute force: distance ties may flip rows
+        assert (kr_a == kr_b).mean() > 0.97
+
+
+def test_native_block_builder_overflow_parity():
+    from roreg_tpu.native.blockpyr import fill_block_pyramid_numpy
+    from roreg_tpu.native.lib import build_block_pyramid_native
+
+    pts = _cloud(3000, seed=1, extent=3.0)
+    a = alloc_block_buffers((16, 8, 8, 8))
+    b = alloc_block_buffers((16, 8, 8, 8))
+    dn = build_block_pyramid_native(pts, VS, a)
+    if dn is None:
+        pytest.skip("native toolchain unavailable")
+    dm = fill_block_pyramid_numpy(pts, VS, b, warn_overflow=False)
+    assert dn == dm and dn > 0
+    import jax
+
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
