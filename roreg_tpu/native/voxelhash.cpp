@@ -543,7 +543,10 @@ int64_t build_block_pyramid(
   for (int64_t l = 0; l < num_levels; ++l) {
     const auto& u = units[l];
     int64_t m = (int64_t)u.size() / 3;
-    HashMap seen(m / 16 + 16);
+    // size by the unit count, NOT an occupancy guess: coarse levels can
+    // have ~1 unit per block, and an over-full open-addressing table
+    // never terminates lookup
+    HashMap seen(m + 16);
     int32_t next = 0;
     auto& keys = levels[l].keys;
     for (int64_t i = 0; i < m; ++i) {
