@@ -82,6 +82,7 @@ def alloc_pyramid_buffers(
         to_voxel=arr((0,), np.int32),  # not tracked in batched mode
         rep_point=arr((caps[0], 3), np.float32),
         origin=arr((3,), np.int32),
+        num_dropped=arr((), np.int32),
     )
     return SparsePyramid(
         levels=levels, conv1_occ=conv1_occ, same=same, down=down, up=up, grid=grid

@@ -11,6 +11,7 @@
 // Build: see roreg_tpu/native/build.py (g++ -O3 -shared -fPIC).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -549,13 +550,27 @@ int64_t build_block_pyramid(
     HashMap seen(m + 16);
     int32_t next = 0;
     auto& keys = levels[l].keys;
+    int64_t out_of_extent = 0;
     for (int64_t i = 0; i < m; ++i) {
+      int32_t bx = u[i * 3] >> 2, by = u[i * 3 + 1] >> 2, bz = u[i * 3 + 2] >> 2;
+      // pack_block is 8 bits/axis: a cloud spanning >1024 level-0 voxels
+      // per axis (>25.6 m at 2.5 cm) would silently alias keys — drop
+      // out-of-extent units loudly instead (mirrors the capacity path)
+      if ((uint32_t)bx >= 256u || (uint32_t)by >= 256u || (uint32_t)bz >= 256u) {
+        ++out_of_extent;
+        continue;
+      }
       bool ins = false;
-      seen.get_or_insert(
-          pack_block(u[i * 3] >> 2, u[i * 3 + 1] >> 2, u[i * 3 + 2] >> 2),
-          next, &ins);
-      if (ins) { ++next; keys.push_back(
-          pack_block(u[i * 3] >> 2, u[i * 3 + 1] >> 2, u[i * 3 + 2] >> 2)); }
+      seen.get_or_insert(pack_block(bx, by, bz), next, &ins);
+      if (ins) { ++next; keys.push_back(pack_block(bx, by, bz)); }
+    }
+    if (out_of_extent > 0) {
+      std::fprintf(stderr,
+                   "[voxelhash] level %lld: %lld voxel units outside the "
+                   "1024^3 extent dropped (cloud too large for the block "
+                   "coordinate range)\n",
+                   (long long)l, (long long)out_of_extent);
+      dropped += out_of_extent;
     }
     std::sort(keys.begin(), keys.end());
     if ((int64_t)keys.size() > caps[l]) {
@@ -664,9 +679,11 @@ int64_t build_block_pyramid(
               cz = (int32_t)std::floor(qz * inv);
       float best = 1e30f;
       int32_t best_row = -1;
-      // full 5^3 neighborhood in one pass (a 2-voxel ring bounds the
-      // global argmin whenever any candidate exists within 2 cells, so
-      // this matches the device kNN except for far-field fallbacks)
+      // full 5^3 neighborhood in one pass. The ring result is only
+      // accepted when best <= 2*voxel_size: any voxel OUTSIDE the ring is
+      // at Chebyshev offset >= 3, so its rep point is > 2 voxels from the
+      // query cell — within that bound the in-ring argmin IS the global
+      // argmin; beyond it we brute-force (matches the device global kNN)
       for (int dx = -2; dx <= 2; ++dx)
         for (int dy = -2; dy <= 2; ++dy)
           for (int dz = -2; dz <= 2; ++dz) {
@@ -679,7 +696,9 @@ int64_t build_block_pyramid(
             float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
             if (d2 < best) { best = d2; best_row = row; }
           }
-      if (best_row < 0) {  // rare: brute-force over all voxels
+      const float ring_bound = 2.0f * voxel_size;
+      if (best_row < 0 || best > ring_bound * ring_bound) {
+        // rare (off-surface keypoint): brute-force over all voxels
         for (int64_t v = 0; v < n_vox; ++v) {
           int32_t row = flat_row(v);
           if (row < 0) continue;

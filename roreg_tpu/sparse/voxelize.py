@@ -8,8 +8,10 @@ coordinates into a single sortable int32 key and compact first occurrences
 into a fixed ``capacity`` — everything jit-compatible, fully on device.
 
 Grid extents are bounded to 2**AXIS_BITS voxels per axis (1024 by default —
-25.6 m at 2.5 cm voxels, 150 m at ETH's 15 cm), asserted at trace time only
-via clipping; out-of-range points are dropped into the invalid bucket.
+25.6 m at 2.5 cm voxels, 150 m at ETH's 15 cm). Out-of-range points are
+dropped into the invalid bucket and **counted**: ``VoxelGrid.num_dropped``
+carries the number of valid input points that fell outside the extent, so
+callers can surface the loss loudly (the host builders already do).
 """
 
 from __future__ import annotations
@@ -45,6 +47,8 @@ class VoxelGrid(NamedTuple):
                  per voxel — mirrors sparse_quantize(return_index) semantics).
     origin:      (3,) int32 coordinate shift that was applied (coords_true =
                  coords - origin is NOT needed downstream; kept for debugging).
+    num_dropped: () int32 count of valid input points outside the
+                 2**AXIS_BITS-voxel extent (dropped to the invalid bucket).
     """
 
     keys: jnp.ndarray
@@ -54,6 +58,7 @@ class VoxelGrid(NamedTuple):
     to_voxel: jnp.ndarray
     rep_point: jnp.ndarray
     origin: jnp.ndarray
+    num_dropped: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -81,6 +86,7 @@ def voxelize(
     shifted = vcoords - origin
 
     in_range = jnp.all((shifted >= 0) & (shifted < _EXTENT), axis=-1) & point_mask
+    num_dropped = jnp.sum((point_mask & ~in_range).astype(jnp.int32))
     keys = jnp.where(in_range, pack_keys(shifted), SENTINEL)
 
     order = jnp.argsort(keys)
@@ -124,4 +130,5 @@ def voxelize(
         to_voxel=to_voxel,
         rep_point=rep_pt,
         origin=origin,
+        num_dropped=num_dropped,
     )

@@ -39,6 +39,7 @@ BCAPS = (256, 128, 64, 32)
 GCAPS = (2048, 1024, 512, 256)
 
 
+@pytest.mark.slow  # two full-net inits: ~40 s of CPU compile
 def test_param_tree_matches_gather_resunet():
     pts = _cloud(200)
     bpyr = jax.tree_util.tree_map(
@@ -140,9 +141,100 @@ def test_overflow_is_loud(capsys):
     dropped = fill_block_pyramid_host(pts, VS, buf)
     assert dropped > 0
     err = capsys.readouterr().err
-    assert "exceed capacity" in err
+    # both builder paths (native C++ and numpy fallback) say "exceed ..."
+    assert "exceed" in err
 
 
+def test_native_extent_overflow_is_loud(capfd):
+    """A cloud spanning more than 1024 level-0 voxels per axis must drop
+    the out-of-extent units LOUDLY (pack_block is 8 bits/axis; silent key
+    aliasing would corrupt the neighbor/occupancy tables)."""
+    near = _cloud(300, seed=3)
+    far = near + np.float32(80.0)  # 80 m at voxel 0.05 -> 1600 voxels away
+    pts = np.concatenate([near, far])
+    buf = alloc_block_buffers((512, 256, 128, 64))
+    dropped = fill_block_pyramid_host(pts, VS, buf)
+    assert dropped > 0
+    err = capfd.readouterr().err
+    assert "extent" in err
+
+
+def test_key_rows_offsurface_ring_fallback():
+    """Off-surface keypoint where the 5^3 ring's best candidate is farther
+    than the 2-voxel out-of-ring lower bound: the builder must fall through
+    to brute force and return the GLOBAL nearest rep point."""
+    # cell (2,2,2) far corner: in-ring, ~4.3 voxels from the query
+    p_ring = np.array([[0.149, 0.149, 0.149]], np.float32)
+    # cell (3,0,0) near face: OUT of the 5^3 ring, ~2.5 voxels away
+    p_out = np.array([[0.151, 0.025, 0.025]], np.float32)
+    pts = np.concatenate([p_ring, p_out])
+    q = np.array([[0.025, 0.025, 0.025]], np.float32)  # empty cell (0,0,0)
+    buf = alloc_block_buffers(BCAPS)
+    key_rows = np.full(1, -2, np.int32)
+    fill_block_pyramid_host(pts, VS, buf, keys=q, key_rows=key_rows)
+    occ = np.asarray(
+        unpack_cell_occupancy(jnp.asarray(buf.levels[0].occ_words))
+    ).reshape(-1)
+    assert occ[key_rows[0]]
+    # oracle: global argmin over the two points
+    d = np.linalg.norm(pts - q, axis=-1)
+    want = pts[d.argmin()]
+    # resolve the chosen row back to a unit coordinate and check it's the
+    # out-of-ring point's voxel
+    l0c = np.asarray(buf.l0_coords).astype(np.int64)
+    blk, cell = divmod(int(key_rows[0]), CELLS)
+    u = l0c[blk] * BLOCK + np.array([cell // 16, (cell // 4) % 4, cell % 4])
+    origin = np.asarray(buf.origin)
+    got_vox = u + origin
+    want_vox = np.floor(want / VS).astype(np.int64)
+    assert (got_vox == want_vox).all()
+
+
+@pytest.mark.slow  # two full-net compiles (~40 s)
+def test_extractor_block_caps_fallback(capsys):
+    """Right-sized block_caps that overflow on this cloud: the extractor
+    must rebuild the chunk at block_caps_fallback and produce the same
+    features as running the big caps directly (no dropped blocks)."""
+    import dataclasses
+
+    from roreg_tpu.pipeline.config import PipelineConfig
+    from roreg_tpu.pipeline.extractor import (
+        extract_group_features_blocks,
+        make_backbone,
+    )
+
+    pts = _cloud(600, seed=9)
+    kps = pts[::29][:16]
+    base = PipelineConfig(
+        voxel_size=VS, group_size=12, capacities=GCAPS,
+        block_caps=(32, 16, 8, 8),           # too small: forces overflow
+        block_caps_fallback=BCAPS,           # roomy
+        conv1_kernel_size=3, group_chunk=4, backbone_compute_dtype=None,
+    )
+    big = dataclasses.replace(
+        base, block_caps=BCAPS, block_caps_fallback=None
+    )
+    import jax as _jax
+
+    bpyr = jax.tree_util.tree_map(
+        jnp.asarray, build_block_pyramid_host(pts, VS, BCAPS)
+    )
+    variables = BlockResUNet(
+        conv1_kernel_size=3, compute_dtype=None
+    ).init(_jax.random.PRNGKey(0), bpyr, False)
+
+    out_fb = np.asarray(
+        extract_group_features_blocks(variables, pts, kps, base)
+    )
+    err = capsys.readouterr().err
+    assert "fallback" in err
+    out_big = np.asarray(
+        extract_group_features_blocks(variables, pts, kps, big)
+    )
+    np.testing.assert_allclose(out_fb, out_big, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow  # 12-rotation full extraction x2 engines (~50 s)
 def test_extractor_parity_block_vs_hostmaps():
     """Full 12-rotation group-feature extraction: block engine ==
     host-map gather engine (testset.py semantics) on shared variables."""

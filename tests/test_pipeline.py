@@ -14,6 +14,10 @@ from roreg_tpu.data.synthetic import make_synthetic_scene
 from roreg_tpu.pipeline.config import PipelineConfig
 from roreg_tpu.pipeline.registration import RegistrationPipeline
 
+# full end-to-end compiles (several minutes on a 2-core box): slow-gated so
+# `pytest -m "not slow"` stays a sub-5-min quick gate
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cfg():

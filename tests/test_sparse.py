@@ -64,6 +64,22 @@ def test_voxelize_capacity_overflow(rng):
     assert (tv < 64).all()
 
 
+def test_voxelize_counts_out_of_extent_drops(rng):
+    # a cloud spanning > 1024 voxels/axis (25.6 m at 2.5 cm): the far
+    # points fall outside the packed-key extent and must be COUNTED, not
+    # silently clipped (VoxelGrid.num_dropped)
+    near = rng.uniform(0, 1, size=(200, 3)).astype(np.float32)
+    far = near + np.float32(40.0)  # 40 m away at voxel 0.025 -> out of extent
+    pts = np.concatenate([near, far])
+    mask = np.ones(len(pts), dtype=bool)
+    vg = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.025, 1024)
+    assert int(vg.num_dropped) == 200
+    assert (np.asarray(vg.to_voxel)[200:] == -1).all()
+    # in-extent cloud: nothing dropped
+    vg2 = voxelize(jnp.asarray(near), jnp.asarray(mask[:200]), 0.025, 1024)
+    assert int(vg2.num_dropped) == 0
+
+
 def _brute_pyramid(points, voxel):
     """dict-based oracle for coordinates and kernel maps."""
     c0 = np.unique(np.floor(points / voxel).astype(int), axis=0)
