@@ -36,6 +36,13 @@ class PipelineConfig:
     # static per-level block capacities for the block engine (4^3 cells
     # per block); overflow drops blocks LOUDLY (native/blockpyr.py)
     block_caps: tuple[int, ...] = (3072, 1024, 512, 256)
+    # overflow escape hatch for right-sized block_caps: when a rotation
+    # chunk overflows block_caps, the chunk is rebuilt at these (larger)
+    # capacities and run through a second compiled program instead of
+    # dropping blocks. None disables (overflow then only warns + drops).
+    # Compute cost scales ~linearly with caps, so production configs
+    # right-size block_caps to the observed p100 and keep a roomy fallback.
+    block_caps_fallback: tuple[int, ...] | None = None
     # Pallas windowed-gather conv slab width for the gather engine's
     # inference path (legacy; the block engine supersedes it). None disables.
     conv_window: int | None = None
@@ -54,6 +61,10 @@ class PipelineConfig:
     match_n: float = 0.999  # fraction/number of top matches kept (Test.py)
     sinkhorn_iters: int = 100
     coor_norm_step: float = 0.025
+    # RM blocked-kNN row size for large keynum; None = auto (single GEMM
+    # up to 1536 keypoints, 512-row blocks beyond — the long-context
+    # blocking that keeps keynum 2500-5000 in memory)
+    rm_row_block: int | None = None
 
     # estimator
     estimator: str = "yohoo"  # or "yohoc"

@@ -259,18 +259,29 @@ def extract_group_features_hostmaps(
     return jnp.transpose(out, (1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "caps"))
 def _backbone_chunk_blocks(
     backbone_variables,
     payload: jnp.ndarray,
     key_rows: jnp.ndarray,
     cfg: PipelineConfig,
     chunk: int,
+    caps: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """Jitted per-chunk forward on the block-dense engine: unpack the
-    single uint8 payload into per-rotation block pyramids, run the
+    uint8 payload into ``chunk`` rotations' block pyramids, run the
     BlockResUNet per rotation, read keypoint features at the host-resolved
-    flat cell rows. key_rows (chunk, K) int32 -> (chunk, K, 32)."""
+    flat cell rows. key_rows (chunk, K) int32 -> (chunk, K, 32).
+
+    Chunk-sized programs (group_chunk rotations per dispatch) are the
+    remote compiler's sweet spot: a lax.map over all 60 rotations in one
+    program was measured to compile pathologically (>45 min vs ~8 min
+    for the chunk program). The extractor feeds this from DEVICE-side
+    slices of one whole-cloud payload, so chunking costs no extra
+    host->device transfers or host synchronization.
+
+    ``caps`` overrides cfg.block_caps (the overflow-fallback program runs
+    the same network at larger capacities)."""
     from roreg_tpu.sparse.block import BlockResUNet, unpack_block_payload
 
     net = BlockResUNet(
@@ -279,7 +290,9 @@ def _backbone_chunk_blocks(
         conv1_kernel_size=cfg.conv1_kernel_size,
         compute_dtype=cfg.backbone_compute_dtype,
     )
-    bpyr_stack = unpack_block_payload(payload, cfg.block_caps, chunk)
+    bpyr_stack = unpack_block_payload(
+        payload, caps if caps is not None else cfg.block_caps, chunk
+    )
 
     def one(args):
         bp, rows = args
@@ -288,9 +301,40 @@ def _backbone_chunk_blocks(
         return jnp.where((rows >= 0)[:, None], f, 0.0)
 
     # sequential over the chunk's rotations: one rotation's halo
-    # intermediates peak at ~0.5 GB (L0, 64ch); vmapping the chunk would
+    # intermediates peak at ~0.4 GB (L0, 64ch); vmapping the chunk would
     # multiply that by group_chunk and exhaust HBM
     return jax.lax.map(one, (bpyr_stack, key_rows))
+
+
+_BUILD_POOL = None
+# (device_array, host_buffer) pairs whose async host->device transfer may
+# still be reading the host buffer; retired once the transfer lands.
+# Guarded by _INFLIGHT_LOCK: describe() may be called from caller-side
+# threads (pipelined clouds).
+_INFLIGHT: list = []
+import threading as _threading
+
+_INFLIGHT_LOCK = _threading.Lock()
+
+
+def _build_pool():
+    global _BUILD_POOL
+    if _BUILD_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _BUILD_POOL = ThreadPoolExecutor(max_workers=4)
+    return _BUILD_POOL
+
+
+def _put_async(host_arr):
+    """Async host->device put that keeps the host buffer alive (and
+    un-reused) until the transfer completes."""
+    global _INFLIGHT
+    dev = jax.device_put(host_arr)
+    with _INFLIGHT_LOCK:
+        _INFLIGHT = [(d, h) for (d, h) in _INFLIGHT if not d.is_ready()]
+        _INFLIGHT.append((dev, host_arr))
+    return dev
 
 
 def extract_group_features_blocks(
@@ -300,14 +344,22 @@ def extract_group_features_blocks(
     cfg: PipelineConfig,
 ) -> jnp.ndarray:
     """Production extractor on the block-dense engine (sparse/block.py):
-    host builds ~1 MB/rotation of block tables + occupancy words, the
-    device runs dense superblock convs on the MXU. Same semantics as
-    :func:`extract_group_features` (testset.py parity: 60 rotations,
-    keypoint nearest-voxel lookup). Double-buffered like the host-map
-    path: chunk i+1's numpy build overlaps chunk i's device compute.
-    """
-    from concurrent.futures import ThreadPoolExecutor
+    the host builds ALL g rotations' block tables + occupancy words
+    upfront (~1 MB/rotation, GIL-free C++ on a thread pool) into
+    group_chunk-sized packed payloads, then issues every host->device put
+    and every chunk dispatch asynchronously, back to back. Same semantics
+    as :func:`extract_group_features` (testset.py parity: 60 rotations,
+    keypoint nearest-voxel lookup).
 
+    Whole-cloud build granularity (vs the round-2 interleaved loop) keeps
+    the host off the critical path: no host synchronization between
+    chunks, so callers can dispatch several clouds back-to-back and the
+    device queue stays full while the host builds the next cloud —
+    describe wall time ~= device compute time even on a contended 2-core
+    host. Compute stays in chunk-sized programs: one lax.map over all 60
+    rotations was measured to compile pathologically on the remote
+    compiler (>45 min vs ~8 min for the chunk program).
+    """
     import numpy as np
 
     from roreg_tpu.native.blockpyr import (
@@ -320,50 +372,53 @@ def extract_group_features_blocks(
     rots = group.rotations.astype(np.float32)
     g = cfg.group_size
     chunk = _effective_chunk(g, cfg.group_chunk)
+    n_chunks = g // chunk
 
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)
+    pool = _build_pool()
 
-    # each slot: one contiguous uint8 payload + a typed view-tree into it;
-    # shipping the payload is ONE host->device put per chunk. Keypoint ->
-    # cell-row association happens inside the same C++ call, so only a
-    # (chunk, K) int32 row array rides along.
-    bufs = [alloc_block_buffers_packed(cfg.block_caps, chunk) for _ in range(2)]
-    keys_bufs = [
-        np.empty((chunk, kps.shape[0]), np.int32) for _ in range(2)
-    ]
-    pool = ThreadPoolExecutor(max_workers=4)
-
-    def build_chunk(c0, slot):
-        (payload, tree), kb = bufs[slot], keys_bufs[slot]
+    def build_cloud(caps):
+        bufs = [alloc_block_buffers_packed(caps, chunk) for _ in range(n_chunks)]
+        kbs = [np.empty((chunk, kps.shape[0]), np.int32) for _ in range(n_chunks)]
 
         def one(gi):
-            R = rots[c0 + gi]
-            fill_block_pyramid_host(
-                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi),
-                keys=kps @ R.T, key_rows=kb[gi],
+            ci, gj = divmod(gi, chunk)
+            R = rots[gi]
+            return fill_block_pyramid_host(
+                pts @ R.T, cfg.voxel_size, block_tree_slice(bufs[ci][1], gj),
+                keys=kps @ R.T, key_rows=kbs[ci][gj],
             )
 
-        list(pool.map(one, range(chunk)))
-        return payload, kb
+        dropped = sum(pool.map(one, range(g)))
+        return bufs, kbs, dropped
 
-    outs = []
-    n_chunks = g // chunk
-    pending = build_chunk(0, 0)
-    for ci in range(n_chunks):
-        payload, kb = pending
-        # copy=True: keep in-flight device data immutable while the
-        # double-buffered slot is refilled (zero-copy aliasing exists on
-        # the CPU backend)
-        dev_payload = jnp.array(payload, copy=True)
-        dev_keys = jnp.array(kb, copy=True)
-        outs.append(
-            _backbone_chunk_blocks(
-                backbone_variables, dev_payload, dev_keys, cfg, chunk
-            )
+    caps = cfg.block_caps
+    bufs, kbs, dropped = build_cloud(caps)
+    if dropped and cfg.block_caps_fallback is not None:
+        import sys
+
+        print(
+            f"[extract] cloud overflows block_caps {cfg.block_caps} "
+            f"({dropped} blocks) -> rebuilding at fallback "
+            f"{cfg.block_caps_fallback}",
+            file=sys.stderr, flush=True,
         )
-        if ci + 1 < n_chunks:
-            pending = build_chunk((ci + 1) * chunk, (ci + 1) % 2)
-    pool.shutdown(wait=False)
+        caps = cfg.block_caps_fallback
+        bufs, kbs, dropped = build_cloud(caps)
+        if dropped:
+            print(
+                f"[extract] fallback capacities ALSO overflow "
+                f"({dropped} blocks dropped) — results degrade",
+                file=sys.stderr, flush=True,
+            )
+    caps_arg = None if caps == cfg.block_caps else caps
+    outs = [
+        _backbone_chunk_blocks(
+            backbone_variables, _put_async(bufs[ci][0]), _put_async(kbs[ci]),
+            cfg, chunk, caps=caps_arg,
+        )
+        for ci in range(n_chunks)
+    ]
     out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
     return jnp.transpose(out, (1, 0, 2))
