@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--group_size", type=int, default=60)
     p.add_argument("--synthetic_scenes", type=int, default=4)
     p.add_argument("--voxel_size", type=float, default=0.025)
+    # PCA-planarity keypoint filter for GF/ET (GF_ET.py:34-67); the
+    # reference's --pca_thre (parses_train_gf.py:44), <=0 disables
+    p.add_argument("--pca_thre", type=float, default=0.03)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -57,7 +60,10 @@ def main(argv=None):
     os.makedirs(out, exist_ok=True)
     if comp in ("gf", "et"):
         cache = RotatedFeatureCache(pcfg, pipe.variables["backbone"])
-        it = gf_et_batches(cache, scenes, args.batch_size, rng)
+        it = gf_et_batches(
+            cache, scenes, args.batch_size, rng,
+            pca_thre=args.pca_thre if args.pca_thre > 0 else None,
+        )
     else:
         from roreg_tpu.pipeline.extractor import extract
         from roreg_tpu.pipeline.registration import gf_apply

@@ -72,23 +72,45 @@ class Evaluator:
 
         This replaces the reference's fork-per-pair multiprocessing Pool
         (test/estimator.py:257-262) with pair-axis vmap + sharding.
-        Keypoint sampling runs once per CLOUD (NMS is deterministic, so
-        with use_rd this is identical to per-pair sampling; without RD the
-        random subset is drawn per cloud instead of per pair).
+
+        Keypoint sampling semantics match the reference exactly
+        (test/matcher.py:174-180): with use_rd the deterministic NMS runs
+        once per cloud (identical to per-pair), and WITHOUT RD the random
+        keynum subset is drawn per (pair, side) — the full per-cloud
+        descriptors stay resident on device for the scene in that mode
+        (~77 MB/cloud at 5000 keypoints x 60 rotations).
         """
         cfg = self.pipeline.cfg
         from roreg_tpu.dist.eval import batched_pair_stage, eval_pairs_sharded
 
-        desc = {}
-        sampled = {}
+        per_pair = not cfg.use_rd
+        sampled = {}  # use_rd: per-cloud sampled triples
+        full = {}     # no-RD: full per-cloud triples, gathered per pair
         for pc_id in ds.pc_ids:
             bb, gf, det = self.describe_cloud(ds, pc_id)
             kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
             ones = jnp.ones((kp.shape[0],), bool)
-            r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pc_id))
+            if per_pair:
+                full[pc_id] = (bb, gf, kp, det)
+            else:
+                r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pc_id))
+                s = self.pipeline.sample_keypoints(kp, det, ones, r)
+                sampled[pc_id] = (bb[s], gf[s], kp[s])
+
+        def pair_side_triple(pair, side):
+            """Sampled (bb, gf, kp) for one side of one pair."""
+            pc_id = pair[side]
+            if not per_pair:
+                return sampled[pc_id]
+            bb, gf, kp, det = full[pc_id]
+            # fold the PAIR id into the key: pairs sharing a cloud draw
+            # independent subsets, like the reference's per-pair sample
+            r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pair[0]))
+            r = jax.random.fold_in(r, int(pair[1]))
+            r = jax.random.fold_in(r, side)
+            ones = jnp.ones((kp.shape[0],), bool)
             s = self.pipeline.sample_keypoints(kp, det, ones, r)
-            sampled[pc_id] = (bb[s], gf[s], kp[s])
-            desc[pc_id] = None  # full descriptors no longer needed
+            return (bb[s], gf[s], kp[s])
 
         pair_ids = list(ds.pair_ids)
         nb = max(1, cfg.eval_pair_batch)
@@ -104,8 +126,12 @@ class Evaluator:
                 jax.random.PRNGKey(seed * 100003 + b0 + k)
                 for k in range(len(batch_p))
             ])
+            triples = [
+                (pair_side_triple(p, 0), pair_side_triple(p, 1))
+                for p in batch_p
+            ]
             stk = lambda i, side: jnp.stack(
-                [sampled[p[side]][i] for p in batch_p]
+                [t[side][i] for t in triples]
             )
             args = (rngs, stk(0, 0), stk(0, 1), stk(1, 0), stk(1, 1),
                     stk(2, 0), stk(2, 1))

@@ -88,12 +88,41 @@ class NeighborAttention(nn.Module):
         return nn.Dense(self.d_model, name="merge")(out)
 
 
-def _topk_gather(score, feats, k, ref_mask):
-    """Top-k columns of score per row (masked), gathering ref feats.
-    score (B,M,N), feats (B,N,C) -> idx (B,M,k), gathered (B,M,k,C)."""
-    k = min(k, score.shape[-1])  # tiny point sets: cap at available columns
-    s = jnp.where(ref_mask[:, None, :], score, _NEG)
-    _, idx = jax.lax.top_k(s, k)
+def _topk_gather(query, target, feats, k, ref_mask, row_block=None):
+    """Feature-space kNN: top-k target columns of query @ target.T per
+    query row (masked), gathering ref feats.
+    query (B,M,C), target (B,N,C), feats (B,N,C')
+    -> idx (B,M,k), gathered (B,M,k,C').
+
+    ``row_block``: when set, the (M, N) score matrix is never materialized
+    — rows are processed in blocks via ``lax.map`` (the long-context analog
+    of the reference's 500-row-tile kNN chunking, utils/knn_search.py:77-96;
+    at the protocol's keynum=5000 the full matrix is 25M entries per
+    attention site). None keeps the single-GEMM path (fastest for the
+    training capacities <= 1538).
+    """
+    k = min(k, target.shape[1])  # tiny point sets: cap at available columns
+    neg = jnp.where(ref_mask[:, None, :], 0.0, _NEG)  # (B,1,N)
+
+    if row_block is None or query.shape[1] <= row_block:
+        s = jnp.einsum("bmf,bnf->bmn", query, target) + neg
+        _, idx = jax.lax.top_k(s, k)
+    else:
+        M = query.shape[1]
+        nb = -(-M // row_block)
+        pad = nb * row_block - M
+        qp = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+        qb = jnp.moveaxis(
+            qp.reshape(query.shape[0], nb, row_block, query.shape[2]), 1, 0
+        )  # (nb, B, block, C)
+
+        def one(qblk):
+            s = jnp.einsum("bmf,bnf->bmn", qblk, target) + neg
+            return jax.lax.top_k(s, k)[1]
+
+        idx = jax.lax.map(one, qb)  # (nb, B, block, k)
+        idx = jnp.moveaxis(idx, 0, 1).reshape(query.shape[0], nb * row_block, k)
+        idx = idx[:, :M]
     g = jnp.take_along_axis(feats[:, None], idx[..., None], axis=2)
     return idx, g
 
@@ -109,12 +138,14 @@ class CrossAttentionBlock(nn.Module):
     group: IcosahedralGroup
     k: int
     s2t: bool
+    row_block: int | None = None
 
     @nn.compact
     def __call__(self, source, target, source_eqv, target_eqv, featinv, mask_s, mask_t):
         # source (B,M,C), target (B,N,C), *_eqv (B,·,G,C), featinv (B,M,C)
-        score = jnp.einsum("bmf,bnf->bmn", source, target)
-        knn_idx, knn_fea = _topk_gather(score, target, self.k, mask_t)
+        knn_idx, knn_fea = _topk_gather(
+            source, target, target, self.k, mask_t, self.row_block
+        )
         nn_idx = knn_idx[..., :1]
         feat_out = NeighborAttention(name="cross_attn")(source, knn_fea, knn_fea)
         feat_out = PointMLP(64, 32, name="merge")(
@@ -136,11 +167,13 @@ class CrossAttentionBlock(nn.Module):
 class SelfAttentionBlock(nn.Module):
     group: IcosahedralGroup
     k: int
+    row_block: int | None = None
 
     @nn.compact
     def __call__(self, feat, coor, r_ind, featinv, mask):
-        score = jnp.einsum("bmf,bnf->bmn", feat, feat)
-        knn_idx, knn_fea = _topk_gather(score, feat, self.k, mask)
+        knn_idx, knn_fea = _topk_gather(
+            feat, feat, feat, self.k, mask, self.row_block
+        )
         knn_coor = jnp.take_along_axis(
             coor[:, None], knn_idx[..., None], axis=2
         ) - coor[:, :, None, :]
@@ -173,19 +206,21 @@ class SelfAttentionBlock(nn.Module):
 class MergeInfoBlock(nn.Module):
     group: IcosahedralGroup
     k: int
+    row_block: int | None = None
 
     @nn.compact
     def __call__(self, s, t, s_eqv, t_eqv, s_coor, t_coor, s_inv, t_inv, mask_s, mask_t):
-        s2t, r_s = CrossAttentionBlock(self.group, self.k, True, name="cross_s2t")(
-            s, t, s_eqv, t_eqv, s_inv, mask_s, mask_t
-        )
-        es = SelfAttentionBlock(self.group, self.k, name="self_s")(
+        rb = self.row_block
+        s2t, r_s = CrossAttentionBlock(
+            self.group, self.k, True, rb, name="cross_s2t"
+        )(s, t, s_eqv, t_eqv, s_inv, mask_s, mask_t)
+        es = SelfAttentionBlock(self.group, self.k, rb, name="self_s")(
             s2t, s_coor, r_s, s_inv, mask_s
         )
-        t2s, r_t = CrossAttentionBlock(self.group, self.k, False, name="cross_t2s")(
-            t, s, t_eqv, s_eqv, t_inv, mask_t, mask_s
-        )
-        et = SelfAttentionBlock(self.group, self.k, name="self_t")(
+        t2s, r_t = CrossAttentionBlock(
+            self.group, self.k, False, rb, name="cross_t2s"
+        )(t, s, t_eqv, s_eqv, t_inv, mask_t, mask_s)
+        et = SelfAttentionBlock(self.group, self.k, rb, name="self_t")(
             t2s, t_coor, r_t, t_inv, mask_t
         )
         return es, et
@@ -260,6 +295,13 @@ class RotationCoherenceMatcher(nn.Module):
     coor_norm_step: float = 0.025
     sinkhorn_iters: int = 100
     init_bin_score: float = 0.2
+    # blocked kNN row size for large keynum (None = single-GEMM, right for
+    # the training capacities); e.g. 512 keeps peak attention memory at
+    # block x N instead of M x N for the protocol's keynum=2500-5000
+    row_block: int | None = None
+    # aux per-layer score maps ((B, M, N, L) — training-loss only); turn
+    # off for large-keynum inference where they dominate memory
+    aux_scores: bool = True
 
     @nn.compact
     def __call__(self, feats0, feats1, keys0, keys1, mask0, mask1):
@@ -277,23 +319,29 @@ class RotationCoherenceMatcher(nn.Module):
         s, t = s_inv, t_inv
         s_layers, t_layers = [], []
         for li, k in enumerate(self.ks):
-            s, t = MergeInfoBlock(self.group, k, name=f"layer{li}")(
+            s, t = MergeInfoBlock(
+                self.group, k, self.row_block, name=f"layer{li}"
+            )(
                 s, t, s_eqv, t_eqv, s_coor, t_coor,
                 s_inv, t_inv, mask0, mask1,
             )
             s_layers.append(s)
             t_layers.append(t)
 
-        # aux per-layer supervision: softmax-product score maps (":357-361")
-        so = jnp.stack(
-            [jnp.einsum("bmf,bnf->bmn", a, b) for a, b in zip(s_layers, t_layers)],
-            axis=-1,
-        )
         pair_ok = mask0[:, :, None] & mask1[:, None, :]
-        so_masked = jnp.where(pair_ok[..., None], so, _NEG)
-        scores_other = jax.nn.softmax(so_masked, axis=1) * jax.nn.softmax(
-            so_masked, axis=2
-        )
+        if self.aux_scores:
+            # aux per-layer supervision: softmax-product score maps (":357-361")
+            so = jnp.stack(
+                [jnp.einsum("bmf,bnf->bmn", a, b)
+                 for a, b in zip(s_layers, t_layers)],
+                axis=-1,
+            )
+            so_masked = jnp.where(pair_ok[..., None], so, _NEG)
+            scores_other = jax.nn.softmax(so_masked, axis=1) * jax.nn.softmax(
+                so_masked, axis=2
+            )
+        else:
+            scores_other = None
 
         final = PointMLP(64, 32, name="final_mlp")
         s_final = final(jnp.concatenate([s_inv, s_layers[-1]], axis=-1), mask0)

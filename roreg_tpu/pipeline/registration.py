@@ -159,10 +159,15 @@ def pair_stage(
     """
     group = get_group(cfg.group_size)
     if cfg.use_rm:
+        rb = cfg.rm_row_block
+        if rb is None and cfg.keynum > 1536:
+            rb = 512  # blocked kNN: peak attention memory block x N, not M x N
         net = RotationCoherenceMatcher(
             group,
             coor_norm_step=cfg.coor_norm_step,
             sinkhorn_iters=cfg.sinkhorn_iters,
+            row_block=rb,
+            aux_scores=False,  # training-only aux maps; skip at eval
         )
         out = net.apply(
             variables["rm"],

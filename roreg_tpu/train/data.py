@@ -83,29 +83,85 @@ class RotatedFeatureCache:
         return self._cache[key]
 
 
+def pca_planarity(pc: np.ndarray, keys: np.ndarray,
+                  radius: float = 0.3) -> np.ndarray:
+    """Per-keypoint surface variation: smallest PCA eigenvalue of the
+    radius-neighborhood, normalized by the eigenvalue sum.
+
+    The reference filters GF/ET training keypoints by a precomputed
+    ``pca_0.3/{pc}.npy`` planarity score (train/trainset/GF_ET.py:34-67,
+    ``Pcas[:, 0] > pca_thre`` with pca_thre=0.03): near-planar keypoints
+    (score ~ 0, e.g. flat walls) are rotationally ambiguous and excluded
+    from descriptor/rotation supervision. Those files ship with the
+    reference's training data; here the score is computed on the fly.
+    Keypoints with < 8 neighbors score 0 (dropped by any threshold).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pc)
+    out = np.zeros(len(keys), np.float32)
+    neighborhoods = tree.query_ball_point(keys, r=radius)
+    for i, idx in enumerate(neighborhoods):
+        if len(idx) < 8:
+            continue
+        nb = pc[idx]
+        nb = nb - nb.mean(0)
+        cov = nb.T @ nb / len(nb)
+        ev = np.linalg.eigvalsh(cov)  # ascending
+        s = ev.sum()
+        if s > 0:
+            out[i] = ev[0] / s
+    return out
+
+
 def gf_et_batches(
     cache: RotatedFeatureCache,
     scenes: list[ThreeDMatchDataset],
     batch_size: int,
     rng: np.random.Generator,
     pair_dist: float = 0.02,
+    pca_thre: float | None = 0.03,
+    pca_radius: float = 0.3,
 ):
     """Infinite iterator of GF/ET training batches
-    {feats0, feats1 (B,G,32), true_idx (B,), delta_r (B,4)}."""
+    {feats0, feats1 (B,G,32), true_idx (B,), delta_r (B,4)}.
+
+    ``pca_thre`` (reference default 0.03) drops near-planar keypoints
+    before pairing (GF_ET.py PCA_keys_sample:34-67); None disables.
+    """
     group = get_group(cache.cfg.group_size)
     rots = group.rotations
 
-    # precompute gt keypoint pairs per scene pair
+    # per-cloud keypoint admissibility under the PCA-planarity filter
+    kp_ok: dict[str, np.ndarray] = {}
+
+    def ok_mask(ds, pc_id):
+        key = f"{ds.name}/{pc_id}"
+        if key not in kp_ok:
+            if pca_thre is None:
+                kp_ok[key] = np.ones(len(ds.get_kps(pc_id)), bool)
+            else:
+                pcas = pca_planarity(
+                    ds.get_pc(pc_id).astype(np.float32),
+                    ds.get_kps(pc_id).astype(np.float32), pca_radius,
+                )
+                kp_ok[key] = pcas > pca_thre
+        return kp_ok[key]
+
+    # precompute gt keypoint pairs per scene pair (filtered keypoints only)
     pair_bank = []
     for ds in scenes:
         for (id0, id1) in ds.pair_ids:
             T = ds.get_transform(id0, id1)
             k0 = ds.get_kps(id0)
             k1 = ds.get_kps(id1)
+            ok0 = ok_mask(ds, id0)
+            ok1 = ok_mask(ds, id1)
             k1t = k1 @ T[:3, :3].T + T[:3, 3]
             d = np.sqrt(((k0[:, None] - k1t[None]) ** 2).sum(-1))
             i0 = d.argmin(1)
-            pairs = np.stack([np.arange(len(k0)), i0], -1)[d.min(1) < pair_dist]
+            keep = (d.min(1) < pair_dist) & ok0 & ok1[i0]
+            pairs = np.stack([np.arange(len(k0)), i0], -1)[keep]
             if len(pairs) >= 10:
                 pair_bank.append((ds, id0, id1, pairs))
     if not pair_bank:

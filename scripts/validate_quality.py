@@ -101,6 +101,14 @@ def main():
             ransac_ird=0.07,
         )
         ppc = 20000
+    if not args.cpu:
+        # fail fast-and-loud on a cold TPU describe compile (VERDICT #6)
+        from roreg_tpu.utils.compile_guard import check_describe_signature
+
+        check_describe_signature(
+            cfg, os.path.join(REPO, ".jax_cache"), label="validate_quality"
+        )
+
     rng = np.random.default_rng(0)
     scenes = []
     root = os.path.join(REPO, "data", "quality_scenes")
@@ -238,6 +246,12 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
+    if not args.cpu:
+        from roreg_tpu.utils.compile_guard import record_describe_signature
+
+        record_describe_signature(
+            cfg, os.path.join(REPO, ".jax_cache"), label="validate_quality"
+        )
     print(json.dumps(out))
 
 
@@ -367,7 +381,59 @@ def _eval_chain(cfg, variables, test_scene, log):
             "rte": float(np.mean(res["rte"])) if res["rte"] else None,
         }
         log(f"chain '{name}': {out[name]}")
+    out["pose_sync"] = _eval_pose_sync(cfg, variables, test_scene, log)
     return out
+
+
+def _eval_pose_sync(cfg, variables, test_scene, log):
+    """Measure the pose-graph synchronization's effect (VERDICT r2 'next'
+    #5): take the scene's pairwise estimates, corrupt one with a gross
+    error, and record RR with and without the cycle-consistent sync
+    (eval/posegraph.py) overruling it."""
+    import dataclasses
+
+    import numpy as np
+
+    from roreg_tpu.core import so3
+    from roreg_tpu.eval.evaluator import Evaluator
+    from roreg_tpu.eval.metrics import registration_errors
+    from roreg_tpu.eval.posegraph import sync_scene
+    from roreg_tpu.pipeline.registration import RegistrationPipeline
+
+    ecfg = dataclasses.replace(
+        cfg, keynum=1024, use_rd=False, use_rm=False, estimator="yohoc"
+    )
+    pipe = RegistrationPipeline(ecfg, variables)
+    ev = Evaluator(pipe)
+    res = ev.process_scene(test_scene, seed=13)
+    pairs = res["pairs"]
+    if len(pairs) < 3:
+        log("pose_sync eval skipped: scene has < 3 pairs (no cycles)")
+        return None
+
+    def rr_of(transforms):
+        ok = []
+        for (id0, id1), T in zip(pairs, transforms):
+            rre, rte = registration_errors(
+                np.asarray(T), test_scene.get_transform(id0, id1)
+            )
+            ok.append(float(rre < ecfg.rr_rot_deg and rte < ecfg.rr_trans))
+        return float(np.mean(ok))
+
+    # inject one grossly wrong pairwise estimate (90 deg + 1 m off)
+    bad = [np.asarray(T).copy() for T in res["transforms"]]
+    corrupt = np.eye(4)
+    corrupt[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    corrupt[:3, 3] = [1.0, 0, 0]
+    bad[0] = corrupt @ bad[0]
+    refined = sync_scene(pairs, bad, res["overlaps"])
+    result = {
+        "rr_raw": rr_of(res["transforms"]),
+        "rr_corrupted": rr_of(bad),
+        "rr_corrupted_synced": rr_of(refined),
+    }
+    log(f"pose_sync: {result}")
+    return result
 
 
 if __name__ == "__main__":

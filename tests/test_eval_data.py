@@ -145,3 +145,45 @@ def test_get_dataset_group_structure(tmp_path):
     group = get_dataset_group("demo", str(tmp_path))
     assert group["wholesetname"] == "demo"
     assert group["kitchen"].pair_ids == [("0", "1")]
+
+
+def test_train_scene_groups():
+    """Training dataset groups match the reference's layout
+    (dataops/dataset.py:160-225): 54 scenes, station counts, valscenes."""
+    from roreg_tpu.data.dataset import SCENE_LISTS, TRAIN_VAL_SCENES
+
+    for name in ("3dm_train_rot", "3dmatch_train"):
+        scenes, nums = SCENE_LISTS[name]
+        assert len(scenes) == 54 and len(nums) == 54
+        assert "bundlefusion-apt0" in scenes and nums[scenes.index(
+            "bundlefusion-apt0")] == 85
+        assert "rgbd-scenes-v2-scene_13" in scenes
+    assert len(TRAIN_VAL_SCENES) == 6
+    assert set(TRAIN_VAL_SCENES) <= set(SCENE_LISTS["3dmatch_train"][0])
+
+
+def test_pca_planarity_filter(rng):
+    """Surface-variation scores: flat plane ~0, sphere patch high, and
+    the pairing respects the filter (train/trainset/GF_ET.py:34-67)."""
+    from roreg_tpu.train.data import pca_planarity
+
+    # flat plane -> sigma ~ 0
+    plane = np.column_stack([
+        rng.uniform(0, 2, size=(2000, 2)),
+        np.zeros(2000),
+    ]).astype(np.float32)
+    s_plane = pca_planarity(plane, plane[:50], radius=0.3)
+    assert (s_plane < 1e-4).all()
+
+    # sphere surface (radius 0.3) -> strongly non-planar neighborhoods
+    v = rng.normal(size=(4000, 3))
+    sphere = (0.3 * v / np.linalg.norm(v, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    s_sphere = pca_planarity(sphere, sphere[:50], radius=0.3)
+    assert (s_sphere > 0.03).mean() > 0.9
+
+    # isolated points (< 8 neighbors) score 0
+    lonely = np.eye(3, dtype=np.float32) * 100
+    s_lone = pca_planarity(lonely, lonely, radius=0.3)
+    assert (s_lone == 0).all()

@@ -170,3 +170,62 @@ def test_rm_forward_and_mask_invariance(G, rng):
     )
     # pad rows never match
     assert (np.asarray(outp["matches0"])[:, M:] == -1).all()
+
+
+def test_rm_blocked_knn_matches_unblocked(G, rng):
+    """row_block kNN blocking (the long-context analog for keynum
+    2500-5000) must be numerically identical to the single-GEMM path."""
+    B, M, N = 1, 70, 50  # M deliberately NOT a multiple of the block
+    f0 = rng.normal(size=(B, M, 60, 32)).astype(np.float32)
+    f1 = rng.normal(size=(B, N, 60, 32)).astype(np.float32)
+    k0 = rng.normal(size=(B, M, 3)).astype(np.float32)
+    k1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    mask0 = np.ones((B, M), bool)
+    mask1 = np.ones((B, N), bool)
+    args = [jnp.asarray(x) for x in (f0, f1, k0, k1, mask0, mask1)]
+    base = RotationCoherenceMatcher(G, ks=(4, 4), sinkhorn_iters=20)
+    vars_ = base.init(jax.random.PRNGKey(7), *args)
+    out = base.apply(vars_, *args)
+    blocked = RotationCoherenceMatcher(
+        G, ks=(4, 4), sinkhorn_iters=20, row_block=16
+    )
+    outb = blocked.apply(vars_, *args)
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(outb["matches0"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), np.asarray(outb["scores"]),
+        atol=1e-4, rtol=1e-4,
+    )
+    # aux_scores=False (eval mode) drops only the training-aux output
+    lean = RotationCoherenceMatcher(
+        G, ks=(4, 4), sinkhorn_iters=20, row_block=16, aux_scores=False
+    )
+    outl = lean.apply(vars_, *args)
+    assert outl["scores_other"] is None
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(outl["matches0"])
+    )
+
+
+@pytest.mark.slow  # keynum-2500 RM forward (~minutes of CPU)
+def test_rm_forward_at_keynum_2500(G, rng):
+    """The protocol's larger keynum settings fit with blocking (VERDICT r2
+    'next' #8): a full RM forward at 2500 keypoints on CPU."""
+    B, M, N = 1, 2500, 2500
+    f0 = rng.normal(size=(B, M, 60, 32)).astype(np.float32)
+    f1 = rng.normal(size=(B, N, 60, 32)).astype(np.float32)
+    k0 = rng.normal(size=(B, M, 3)).astype(np.float32)
+    k1 = rng.normal(size=(B, N, 3)).astype(np.float32)
+    mask0 = np.ones((B, M), bool)
+    mask1 = np.ones((B, N), bool)
+    args = [jnp.asarray(x) for x in (f0, f1, k0, k1, mask0, mask1)]
+    net = RotationCoherenceMatcher(
+        G, ks=(16, 8), sinkhorn_iters=25, row_block=512, aux_scores=False
+    )
+    small = [jnp.asarray(x[:, :32] if x.ndim > 2 else x[:, :32])
+             for x in (f0, f1, k0, k1, mask0, mask1)]
+    vars_ = net.init(jax.random.PRNGKey(8), *small)
+    out = net.apply(vars_, *args)
+    assert out["matches0"].shape == (B, M)
+    assert np.isfinite(np.asarray(out["matching_scores0"])).all()
