@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--keynum", type=int, default=250)
     p.add_argument("--group_size", type=int, default=60)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--out_png", default=None,
+                   help="write a before/after registration rendering "
+                        "(headless analog of utils_o3d.py "
+                        "draw_registration_result)")
     args = p.parse_args(argv)
 
     import jax
@@ -63,6 +67,12 @@ def main(argv=None):
     rre, rte = registration_errors(T, T_gt)
     print("predicted transform:\n", np.round(T, 4))
     print("ground truth:\n", np.round(T_gt, 4))
+    if args.out_png:
+        from roreg_tpu.data.visualize import draw_registration
+
+        # gt convention pts0 = T @ pts1: cloud 1 is the source
+        draw_registration(np.asarray(pc1), np.asarray(pc0), T, args.out_png)
+        print(f"registration rendering written to {args.out_png}")
     print(json.dumps({"rre_deg": rre, "rte_m": rte,
                       "success": bool(rre < 15 and rte < 0.3)}))
 

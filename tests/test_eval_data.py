@@ -187,3 +187,17 @@ def test_pca_planarity_filter(rng):
     lonely = np.eye(3, dtype=np.float32) * 100
     s_lone = pca_planarity(lonely, lonely, radius=0.3)
     assert (s_lone == 0).all()
+
+
+def test_draw_registration(tmp_path, rng):
+    from roreg_tpu.data.visualize import draw_registration_with_keys
+
+    src = rng.normal(size=(500, 3)).astype(np.float32)
+    T = np.eye(4)
+    T[:3, 3] = [0.1, 0, 0]
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+    out = str(tmp_path / "reg.png")
+    draw_registration_with_keys(src, tgt, src[:20], T, out)
+    import os
+
+    assert os.path.getsize(out) > 10000

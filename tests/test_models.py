@@ -229,3 +229,20 @@ def test_rm_forward_at_keynum_2500(G, rng):
     out = net.apply(vars_, *args)
     assert out["matches0"].shape == (B, M)
     assert np.isfinite(np.asarray(out["matching_scores0"])).all()
+
+
+def test_rd_former_variant(G, rng):
+    """Legacy RD_former sigmoid-MLP detector (RD_former/rot_detect.py:6-58):
+    scores in (0,1), rotation-INVARIANT wrt a group rotation of the input
+    is NOT expected (it scores the raw group signature); just shape+range
+    + determinism."""
+    from roreg_tpu.models.rd import RotationDetectorFormer
+
+    net = RotationDetectorFormer(G)
+    f = jnp.asarray(rng.normal(size=(10, 60, 32)).astype(np.float32))
+    vars_ = net.init(jax.random.PRNGKey(9), f)
+    s = np.asarray(net.apply(vars_, f))
+    assert s.shape == (10,)
+    assert ((s > 0) & (s < 1)).all()
+    s2 = np.asarray(net.apply(vars_, f))
+    np.testing.assert_array_equal(s, s2)
