@@ -81,6 +81,24 @@ class ResidualCombConv(nn.Module):
         return h + sc
 
 
+_CORR_ONEHOT: dict = {}
+
+
+def _corr_onehot(cayley) -> jnp.ndarray:
+    """(A, G, G) one-hot W[a, g, h] = 1 iff h == cayley[a, g]."""
+    import numpy as _np
+
+    c_np = _np.asarray(cayley)
+    key = (c_np.shape, hash(c_np.tobytes()))
+    if key not in _CORR_ONEHOT:
+        c = c_np
+        A, G = c.shape
+        w = _np.zeros((A, G, G), _np.float32)
+        w[_np.arange(A)[:, None], _np.arange(G)[None, :], c] = 1.0
+        _CORR_ONEHOT[key] = jnp.asarray(w)
+    return _CORR_ONEHOT[key]
+
+
 def group_correlation(
     permuted: jnp.ndarray, fixed: jnp.ndarray, cayley: jnp.ndarray
 ) -> jnp.ndarray:
@@ -88,8 +106,13 @@ def group_correlation(
 
     The 60x60 rotation-index correlation used by Des2DR
     (network/group_feat.py:55-58), Batch_Des2R (test/estimator.py:85-89)
-    and the GF eqv loss (train/loss.py:26-31). One big tensor contraction:
-    gather (…, A, G, C) then einsum — MXU-friendly at batch scale.
+    and the GF eqv loss (train/loss.py:26-31).
+
+    Computed WITHOUT materializing the gathered (…, A, G, C) tensor
+    (230 MB at 1000 keypoints x 60^2 x 32): first the per-item gram
+    matrix S[…, g, h] = <fixed[…, g, :], permuted[…, h, :]> (one MXU
+    batch-GEMM, (…, G, G)), then the permutation sum as a contraction
+    with a static (A, G, G) one-hot — ~20x less HBM traffic, same math.
     """
-    p = jnp.take(permuted, jnp.asarray(cayley), axis=-2)  # (..., A, G, C)
-    return jnp.einsum("...agc,...gc->...a", p, fixed)
+    S = jnp.einsum("...gc,...hc->...gh", fixed, permuted)
+    return jnp.einsum("...gh,agh->...a", S, _corr_onehot(cayley))

@@ -129,9 +129,17 @@ def _topk_gather(query, target, feats, k, ref_mask, row_block=None):
 
 def _rotation_indicator(permuted, fixed, cayley):
     """out[..., h] = sum_{g,c} permuted[..., cayley[g, h], c] * fixed[..., g, c]
-    (the coarse rotation indicator, rot_coh_match.py:142-165)."""
-    p = jnp.take(permuted, jnp.asarray(cayley), axis=-2)  # (..., G, H, C)
-    return jnp.einsum("...ghc,...gc->...h", p, fixed)
+    (the coarse rotation indicator, rot_coh_match.py:142-165).
+
+    Gram-matrix + static one-hot contraction instead of gathering the
+    (..., G, H, C) tensor (which is ~230 MB at 1000 points, G=60 —
+    see models/ops.group_correlation for the identical trick)."""
+    import numpy as np
+
+    from roreg_tpu.models.ops import _corr_onehot
+
+    S = jnp.einsum("...gc,...kc->...gk", fixed, permuted)
+    return jnp.einsum("...gk,hgk->...h", S, _corr_onehot(np.asarray(cayley).T))
 
 
 class CrossAttentionBlock(nn.Module):
