@@ -95,8 +95,10 @@ def _corr_onehot(cayley) -> jnp.ndarray:
         A, G = c.shape
         w = _np.zeros((A, G, G), _np.float32)
         w[_np.arange(A)[:, None], _np.arange(G)[None, :], c] = 1.0
-        _CORR_ONEHOT[key] = jnp.asarray(w)
-    return _CORR_ONEHOT[key]
+        # cache the NUMPY constant — caching a jnp array created inside a
+        # jit trace would leak a tracer into later traces
+        _CORR_ONEHOT[key] = w
+    return jnp.asarray(_CORR_ONEHOT[key])
 
 
 def group_correlation(
