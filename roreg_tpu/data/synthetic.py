@@ -85,13 +85,23 @@ def make_synthetic_scene(
     num_keypoints: int = 512,
     overlap: float = 0.7,
     max_angle_deg: float = 50.0,
+    surface_extent: float = 3.0,
 ) -> ThreeDMatchDataset:
     """Build a scene: one base surface, fragments = overlapping crops moved
     into their own frames by random rigid transforms. gt convention matches
-    the reference: pts0 = R @ pts1 + t for pair (i, j), i < j."""
+    the reference: pts0 = R @ pts1 + t for pair (i, j), i < j.
+
+    ``surface_extent`` controls point density relative to the voxel size:
+    real 3DMatch fragments carry several points per 2.5 cm voxel; a
+    synthetic cloud must match that ratio (points_per_cloud over the
+    surface area implied by the extent) or conv features see mostly
+    sampling holes and metric learning plateaus.
+    """
     os.makedirs(f"{root}/PointCloud", exist_ok=True)
     os.makedirs(f"{root}/Keypoints", exist_ok=True)
-    base = synthetic_surface(rng, int(points_per_cloud / overlap * 1.5))
+    base = synthetic_surface(
+        rng, int(points_per_cloud / overlap * 1.5), extent=surface_extent
+    )
     extent = base[:, 0].max() - base[:, 0].min()
 
     frames = []  # T_k: base -> cloud_k frame  (cloud_k = T_k(base crop))

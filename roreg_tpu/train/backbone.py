@@ -33,17 +33,30 @@ def hardest_contrastive_loss(
     pair_mask: jnp.ndarray,
     pos_margin: float = 0.1,
     neg_margin: float = 1.4,
+    pos0: jnp.ndarray | None = None,
+    pos1: jnp.ndarray | None = None,
+    safe_radius: float = 0.0,
 ) -> tuple[jnp.ndarray, dict]:
     """FCGF hardest-contrastive on matched feature pairs (P, C) + mask (P,).
 
     Positives: matched rows. Negatives: for each anchor, the hardest
-    non-matching row of the other side among the valid pairs.
+    non-matching row of the other side among the valid pairs —
+    EXCLUDING candidates spatially within ``safe_radius`` of the anchor
+    (``pos0``/``pos1`` (P, 3) in a common frame). Without the spatial
+    exclusion the hardest negative is almost always the anchor's
+    immediate spatial neighbor, whose true feature must be similar —
+    pulling correspondences together while pushing neighbors apart is
+    contradictory and the loss plateaus (FCGF/D3Feat both mine negatives
+    outside a safe radius for exactly this reason).
     """
     d2 = jnp.sum((f0[:, None, :] - f1[None, :, :]) ** 2, axis=-1)
     d = jnp.sqrt(jnp.clip(d2, 1e-12))
     p = d.shape[0]
     eye = jnp.eye(p, dtype=bool)
     valid = pair_mask[:, None] & pair_mask[None, :]
+    if pos0 is not None and safe_radius > 0.0:
+        sp2 = jnp.sum((pos0[:, None, :] - pos1[None, :, :]) ** 2, axis=-1)
+        valid = valid & (sp2 > safe_radius * safe_radius)
 
     pos = jnp.diagonal(d)
     pos_loss = jnp.where(pair_mask, jnp.clip(pos - pos_margin, 0.0) ** 2, 0.0)
@@ -66,13 +79,20 @@ def hardest_contrastive_loss(
     }
 
 
-def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1):
-    """Returns (init_fn, step_fn) for SGD-momentum FCGF training
-    (FCGF trains with SGD lr=0.1 + exp decay 0.99)."""
+def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1,
+                             optimizer: str = "sgd"):
+    """Returns (init_fn, step_fn) for FCGF training.
+
+    optimizer: "sgd" (FCGF's published recipe: SGD lr=0.1 + exp decay,
+    ~30k steps) or "adam" (much faster early convergence — the right
+    choice for the short synthetic-quality training budgets)."""
     net = make_backbone(cfg)
-    tx = optax.chain(
-        optax.sgd(optax.exponential_decay(lr, 1000, 0.99), momentum=0.8),
-    )
+    if optimizer == "adam":
+        tx = optax.adam(optax.exponential_decay(lr, 1000, 0.97))
+    else:
+        tx = optax.chain(
+            optax.sgd(optax.exponential_decay(lr, 1000, 0.99), momentum=0.8),
+        )
     feats_in = None
 
     def fwd(params, bstats, batch, train):
@@ -87,7 +107,11 @@ def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1):
         )
         f0 = out0[batch["pairs"][:, 0]]
         f1 = out1[batch["pairs"][:, 1]]
-        loss, aux = hardest_contrastive_loss(f0, f1, batch["pair_mask"])
+        loss, aux = hardest_contrastive_loss(
+            f0, f1, batch["pair_mask"],
+            pos0=batch.get("pos0"), pos1=batch.get("pos1"),
+            safe_radius=2.0 * cfg.voxel_size,
+        )
         return loss, (m1["batch_stats"], aux)
 
     def init_fn(key, batch):
@@ -156,11 +180,20 @@ def backbone_pair_batches(
         T = ds.get_transform(id0, id1)
         pc0 = ds.get_pc(id0).astype(np.float32)
         pc1 = ds.get_pc(id1).astype(np.float32)
-        # random rotation augmentation (FCGF trains with random rotations)
+        # Joint-orientation rotation augmentation: corresponding patches
+        # are presented at the SAME global orientation (R0 = R,
+        # R1 = R @ R_gt), randomized across steps. FCGF features are NOT
+        # rotation-invariant — that is YOHO/RoReg's whole premise (the
+        # 60-rotation group machinery upstream handles orientation), and
+        # 3DMatch training pairs are near-aligned scan viewpoints.
+        # Independent per-fragment rotations (the round-2 objective) train
+        # for cross-orientation invariance, which occupancy convs cannot
+        # achieve — hardest-contrastive plateaus at pos>neg.
         from roreg_tpu.data.synthetic import _random_rotation
 
-        R0 = _random_rotation(rng).astype(np.float32)
-        R1 = _random_rotation(rng).astype(np.float32)
+        R = _random_rotation(rng).astype(np.float32)
+        R0 = R
+        R1 = (R @ T[:3, :3]).astype(np.float32)
         pyr0 = build_pyramid_host(
             pc0 @ R0.T, cfg.voxel_size, cfg.capacities, cfg.conv1_kernel_size
         )
@@ -183,9 +216,17 @@ def backbone_pair_batches(
             [pairs[:, ::-1], np.zeros((pad, 2), np.int32)], 0
         )  # -> [i0, i1]
         mask = np.arange(max_pairs) < len(pairs)
+        # common-frame positions of the paired voxels for the spatial
+        # safe-radius negative exclusion
+        p0 = np.zeros((max_pairs, 3), np.float32)
+        p1 = np.zeros((max_pairs, 3), np.float32)
+        p0[: len(pairs)] = rep0[pair_arr[: len(pairs), 0]]
+        p1[: len(pairs)] = rep1_in0[pair_arr[: len(pairs), 1]]
         yield {
             "pyr0": jax.tree_util.tree_map(jnp.asarray, pyr0),
             "pyr1": jax.tree_util.tree_map(jnp.asarray, pyr1),
             "pairs": jnp.asarray(pair_arr.astype(np.int32)),
             "pair_mask": jnp.asarray(mask),
+            "pos0": jnp.asarray(p0),
+            "pos1": jnp.asarray(p1),
         }

@@ -88,6 +88,11 @@ def main():
             ransac_ird=0.1,
         )
         ppc = 8000
+        # ~2.7 points per 5 cm voxel (real-3DMatch-like density): at the
+        # former 3.0 m extent the occupancy was ~0.5 pts/voxel and conv
+        # features saw mostly sampling holes — hardest-contrastive
+        # training plateaued (pos~0.73 > neg~0.51 flat for 1000+ steps)
+        extent = 1.6
     else:
         cfg = PipelineConfig(
             voxel_size=0.025,
@@ -101,6 +106,9 @@ def main():
             ransac_ird=0.07,
         )
         ppc = 20000
+        # 20000 pts / 2.5 cm voxels needs a comparable density bump:
+        # ~2.5 m^2-scale surface keeps several points per voxel
+        extent = 2.0
     if not args.cpu:
         # fail fast-and-loud on a cold TPU describe compile (VERDICT #6)
         from roreg_tpu.utils.compile_guard import check_describe_signature
@@ -117,13 +125,13 @@ def main():
             make_synthetic_scene(
                 os.path.join(root, f"scene{i}"), rng, num_clouds=3,
                 points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
-                overlap=0.8, max_angle_deg=50.0,
+                overlap=0.8, max_angle_deg=50.0, surface_extent=extent,
             )
         )
     test_scene = make_synthetic_scene(
         os.path.join(root, "test"), rng, num_clouds=2,
         points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
-        overlap=0.8, max_angle_deg=40.0,
+        overlap=0.8, max_angle_deg=40.0, surface_extent=extent,
     )
     log("scenes built")
 
@@ -132,7 +140,11 @@ def main():
     import dataclasses
 
     cfg_train = dataclasses.replace(cfg, backbone_compute_dtype=None)
-    bb_init, bb_step = make_backbone_train_step(cfg_train, lr=3e-2)
+    # Adam: the SGD recipe needs FCGF's ~30k-step budget; Adam separates
+    # pos/neg within a few hundred steps on these scenes
+    bb_init, bb_step = make_backbone_train_step(
+        cfg_train, lr=1e-3, optimizer="adam"
+    )
     bb_it = backbone_pair_batches(scenes, cfg_train, rng, max_pairs=1024)
     batch = next(bb_it)
     state = bb_init(jax.random.PRNGKey(0), batch)
