@@ -26,6 +26,13 @@ class PipelineConfig:
 
     # how many of the 60 rotations run per jitted backbone pass
     group_chunk: int = 10
+    # rotations vmapped TOGETHER through the block engine inside a chunk
+    # (must divide group_chunk). The per-rotation UNet is ~16 small
+    # stages whose per-kernel overheads dominate (measured ~8 ms/stage at
+    # production shapes vs ~1 ms of roofline work); batching rotations
+    # amortizes them. Memory: halo intermediates are ~0.45 GB/rotation at
+    # bench caps — rot_vmap=5 peaks ~2.3 GB.
+    rot_vmap: int = 1
     # backbone execution engine:
     #   "block"  — block-dense micro-block engine (sparse/block.py): coarse
     #              contiguous gathers + dense MXU convs; the production

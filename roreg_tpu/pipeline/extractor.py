@@ -300,10 +300,18 @@ def _backbone_chunk_blocks(
         f = feats[jnp.clip(rows, 0)]
         return jnp.where((rows >= 0)[:, None], f, 0.0)
 
-    # sequential over the chunk's rotations: one rotation's halo
-    # intermediates peak at ~0.4 GB (L0, 64ch); vmapping the chunk would
-    # multiply that by group_chunk and exhaust HBM
-    return jax.lax.map(one, (bpyr_stack, key_rows))
+    rb = cfg.rot_vmap
+    if rb <= 1 or chunk % rb:
+        # sequential over the chunk's rotations
+        return jax.lax.map(one, (bpyr_stack, key_rows))
+    # batch rot_vmap rotations through every stage: amortizes the
+    # per-kernel overheads that dominate this engine (see cfg.rot_vmap)
+    grouped = jax.tree_util.tree_map(
+        lambda x: x.reshape((chunk // rb, rb) + x.shape[1:]),
+        (bpyr_stack, key_rows),
+    )
+    out = jax.lax.map(lambda args: jax.vmap(one)(args), grouped)
+    return out.reshape((chunk,) + out.shape[2:])
 
 
 _BUILD_POOL = None

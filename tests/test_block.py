@@ -344,3 +344,30 @@ def test_native_block_builder_overflow_parity():
 
     for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_extractor_rot_vmap_parity():
+    """rot_vmap batching must be numerically identical to the sequential
+    per-rotation map."""
+    import dataclasses
+
+    from roreg_tpu.pipeline.config import PipelineConfig
+    from roreg_tpu.pipeline.extractor import extract_group_features_blocks
+
+    pts = _cloud(400, seed=11)
+    kps = pts[::23][:8]
+    base = PipelineConfig(
+        voxel_size=VS, group_size=12, capacities=GCAPS, block_caps=BCAPS,
+        conv1_kernel_size=3, group_chunk=4, backbone_compute_dtype=None,
+    )
+    bpyr = jax.tree_util.tree_map(
+        jnp.asarray, build_block_pyramid_host(pts, VS, BCAPS)
+    )
+    variables = BlockResUNet(
+        conv1_kernel_size=3, compute_dtype=None
+    ).init(jax.random.PRNGKey(2), bpyr, False)
+    out1 = np.asarray(extract_group_features_blocks(variables, pts, kps, base))
+    out2 = np.asarray(extract_group_features_blocks(
+        variables, pts, kps, dataclasses.replace(base, rot_vmap=2)
+    ))
+    np.testing.assert_allclose(out1, out2, atol=1e-5, rtol=1e-5)
