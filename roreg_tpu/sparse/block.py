@@ -240,7 +240,7 @@ def _up_maps():
     return ridx.reshape(-1).astype(np.int32), valid.reshape(-1)
 
 
-_UP_RIDX, _UP_VALID = _up_maps()
+_UP_RIDX, _UP_VALID = _up_maps()  # naive-form maps, kept as the oracle
 
 
 def _up_parity_classes():

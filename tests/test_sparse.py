@@ -343,3 +343,32 @@ def test_resunet_train_mode_updates_stats(rng):
     # stats moved off their init values
     m = jax.tree_util.tree_leaves(updates["batch_stats"])
     assert any(np.abs(np.asarray(x)).max() > 0 for x in m)
+
+
+def test_conv_up_parity_classes_match_naive(rng):
+    """The 8-parity-class conv_up == the naive 27-tap masked im2col
+    (kept as _UP_RIDX/_UP_VALID oracle)."""
+    import jax.numpy as jnp
+
+    from roreg_tpu.sparse import block as B
+
+    bc, bf, ci, co = 12, 40, 8, 16
+    feats = jnp.asarray(rng.normal(size=(bc, 64, ci)).astype(np.float32))
+    utbl = jnp.asarray(
+        rng.integers(-1, bc * 64, size=(bf, 27)).astype(np.int32)
+    )
+    mask = jnp.asarray(rng.random((bf, 64)) < 0.6)
+    w = jnp.asarray(rng.normal(size=(27, ci, co)).astype(np.float32))
+
+    got = np.asarray(B.conv_up(feats, utbl, w, mask))
+
+    # naive oracle
+    fc = np.asarray(feats).reshape(-1, ci)
+    reg = fc[np.clip(np.asarray(utbl), 0, None)]
+    reg = np.where(np.asarray(utbl)[..., None] >= 0, reg, 0.0)
+    im = reg[:, B._UP_RIDX]
+    im = np.where(B._UP_VALID[None, :, None], im, 0.0)
+    im = im.reshape(bf * 64, 27 * ci)
+    want = (im @ np.asarray(w).reshape(27 * ci, co)).reshape(bf, 64, co)
+    want = np.where(np.asarray(mask)[..., None], want, 0.0)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
