@@ -381,7 +381,9 @@ def _eval_chain(cfg, variables, test_scene, log):
         "full_rd_rm_et_yohoo": dict(use_rd=True, use_rm=True, estimator="yohoo"),
         "mutual_yohoc": dict(use_rd=False, use_rm=False, estimator="yohoc"),
     }.items():
-        ecfg = dataclasses.replace(cfg, keynum=1024, **flags)
+        ecfg = dataclasses.replace(
+            cfg, keynum=min(1024, cfg.num_keypoints), **flags
+        )
         pipe = RegistrationPipeline(ecfg, variables)
         ev = Evaluator(pipe)
         res = ev.process_scene(test_scene, seed=11)
@@ -413,7 +415,8 @@ def _eval_pose_sync(cfg, variables, test_scene, log):
     from roreg_tpu.pipeline.registration import RegistrationPipeline
 
     ecfg = dataclasses.replace(
-        cfg, keynum=1024, use_rd=False, use_rm=False, estimator="yohoc"
+        cfg, keynum=min(1024, cfg.num_keypoints),
+        use_rd=False, use_rm=False, estimator="yohoc",
     )
     pipe = RegistrationPipeline(ecfg, variables)
     ev = Evaluator(pipe)
