@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Evaluate the FULL chain (RD+RM+ET yohoo, plus the mutual/yohoc
+baseline and the pose-sync probe) from the saved checkpoints_quality/
+weights, without any training. Regenerates the deterministic synthetic
+scenes (same rng stream as validate_quality.py --small) and runs
+validate_quality._eval_chain on the held-out test scene, merging the
+result into QUALITY.json's ``full_chain`` field.
+
+Reference bar: test/evaluator.py:103-145 (FMR/IR/RR out of the full
+--RD --RM --ET yohoo chain)."""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--group_size", type=int, default=60)
+    ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from roreg_tpu.data.synthetic import make_synthetic_scene
+    from roreg_tpu.pipeline.config import PipelineConfig
+
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[evalchain +{time.time() - t0:.0f}s] {msg}", flush=True)
+
+    # identical to validate_quality.py --small (the config the
+    # checkpoints were trained under)
+    cfg = PipelineConfig(
+        voxel_size=0.05, group_size=args.group_size,
+        capacities=(8192, 4096, 2048, 1024),
+        block_caps=(1024, 512, 256, 128), conv1_kernel_size=5,
+        group_chunk=6 if args.group_size == 60 else 4,
+        num_keypoints=1024, keynum=1024, max_iter=1000, ransac_ird=0.1,
+    )
+    ppc, extent = 8000, 1.6
+
+    # same rng stream as validate_quality.main: 3 train scenes then test
+    rng = np.random.default_rng(0)
+    root = os.path.join(REPO, "data", "quality_scenes")
+    for i in range(3):
+        make_synthetic_scene(
+            os.path.join(root, f"scene{i}"), rng, num_clouds=3,
+            points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
+            overlap=0.8, max_angle_deg=50.0, surface_extent=extent,
+        )
+    test_scene = make_synthetic_scene(
+        os.path.join(root, "test"), rng, num_clouds=2,
+        points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
+        overlap=0.8, max_angle_deg=40.0, surface_extent=extent,
+    )
+    test_scene.name = "test"
+    log("scenes rebuilt (deterministic)")
+
+    ck = ocp.StandardCheckpointer()
+    ckdir = os.path.join(REPO, "checkpoints_quality")
+    variables = {}
+    for comp in ("backbone", "gf", "rd", "rm", "et"):
+        variables[comp] = ck.restore(
+            os.path.abspath(os.path.join(ckdir, f"{comp}_variables"))
+        )
+    log("all five component checkpoints restored")
+
+    spec = importlib.util.spec_from_file_location(
+        "vq", os.path.join(REPO, "scripts", "validate_quality.py")
+    )
+    vq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vq)
+
+    full_chain = vq._eval_chain(cfg, variables, test_scene, log)
+
+    try:
+        with open(args.out) as f:
+            out = json.load(f)
+    except Exception:
+        out = {"config": {}, "pairs": [], "rr": None}
+    out["full_chain"] = full_chain
+    out["config"]["note"] = (
+        "baseline chain + full chain evaluated from checkpoints_quality/ "
+        "(scripts/eval_full_chain.py); RM/ET/RD weights from the round-3 "
+        "full-chain training run"
+    )
+    out["full_chain_wall_s"] = round(time.time() - t0, 1)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -313,6 +313,10 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
             log(f"RM step {i + 1}: loss {float(m['loss']):.4f}")
     rm_vars = {"params": rm_state["params"]}
     log("RM trained")
+    from roreg_tpu.train.checkpoints import save_variables
+
+    ckdir = os.path.join(REPO, "checkpoints_quality")
+    save_variables(os.path.join(ckdir, "rm_variables"), rm_vars)
 
     # ---- ET (frozen GF) ----
     cache = RotatedFeatureCache(cfg, backbone_vars, rnum=2)
@@ -330,6 +334,7 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
         "params": et_state["params"], "batch_stats": et_state["batch_stats"]
     }
     log("ET trained")
+    save_variables(os.path.join(ckdir, "et_variables"), et_vars)
 
     # ---- RD (self-run pipeline supervision) ----
     from roreg_tpu.train.selfrun import build_rd_match_bank
@@ -355,12 +360,6 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
         "params": rd_state["params"], "batch_stats": rd_state["batch_stats"]
     }
     log("RD trained")
-
-    from roreg_tpu.train.checkpoints import save_variables
-
-    ckdir = os.path.join(REPO, "checkpoints_quality")
-    save_variables(os.path.join(ckdir, "rm_variables"), rm_vars)
-    save_variables(os.path.join(ckdir, "et_variables"), et_vars)
     save_variables(os.path.join(ckdir, "rd_variables"), rd_vars)
     return {"rm": rm_vars, "et": et_vars, "rd": rd_vars}
 
