@@ -26,6 +26,8 @@ __all__ = [
     "extract",
     "extract_group_features",
     "extract_group_features_hostmaps",
+    "build_cloud_payloads",
+    "dispatch_cloud_payloads",
 ]
 
 
@@ -345,28 +347,16 @@ def _put_async(host_arr):
     return dev
 
 
-def extract_group_features_blocks(
-    backbone_variables,
-    points,
-    keypoints,
-    cfg: PipelineConfig,
-) -> jnp.ndarray:
-    """Production extractor on the block-dense engine (sparse/block.py):
-    the host builds ALL g rotations' block tables + occupancy words
-    upfront (~1 MB/rotation, GIL-free C++ on a thread pool) into
-    group_chunk-sized packed payloads, then issues every host->device put
-    and every chunk dispatch asynchronously, back to back. Same semantics
-    as :func:`extract_group_features` (testset.py parity: 60 rotations,
-    keypoint nearest-voxel lookup).
+def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
+    """Host-only half of the block-engine extractor: build ALL g rotations'
+    block tables + occupancy words (~1 MB/rotation, GIL-free C++ on a
+    thread pool) into group_chunk-sized packed payloads, with the loud
+    overflow->fallback-capacity rebuild. Returns ``(bufs, kbs, caps)``
+    ready for :func:`dispatch_cloud_payloads`.
 
-    Whole-cloud build granularity (vs the round-2 interleaved loop) keeps
-    the host off the critical path: no host synchronization between
-    chunks, so callers can dispatch several clouds back-to-back and the
-    device queue stays full while the host builds the next cloud —
-    describe wall time ~= device compute time even on a contended 2-core
-    host. Compute stays in chunk-sized programs: one lax.map over all 60
-    rotations was measured to compile pathologically on the remote
-    compiler (>45 min vs ~8 min for the chunk program).
+    Exposed separately so callers that amortize descriptor work (the
+    reference amortizes it from disk caches, testset.py once per cloud)
+    can run host table building off the device-critical path.
     """
     import numpy as np
 
@@ -384,7 +374,8 @@ def extract_group_features_blocks(
 
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)
-    pool = _build_pool()
+    if pool is None:
+        pool = _build_pool()
 
     def build_cloud(caps):
         bufs = [alloc_block_buffers_packed(caps, chunk) for _ in range(n_chunks)]
@@ -420,13 +411,48 @@ def extract_group_features_blocks(
                 f"({dropped} blocks dropped) — results degrade",
                 file=sys.stderr, flush=True,
             )
+    return bufs, kbs, caps
+
+
+def dispatch_cloud_payloads(
+    backbone_variables, bufs, kbs, caps, cfg: PipelineConfig
+) -> jnp.ndarray:
+    """Device half of the block-engine extractor: async host->device puts
+    + one chunk-program dispatch per payload, all issued back-to-back from
+    the calling thread (no host synchronization). -> (K, G, 32) lazily."""
+    chunk = _effective_chunk(cfg.group_size, cfg.group_chunk)
     caps_arg = None if caps == cfg.block_caps else caps
     outs = [
         _backbone_chunk_blocks(
             backbone_variables, _put_async(bufs[ci][0]), _put_async(kbs[ci]),
             cfg, chunk, caps=caps_arg,
         )
-        for ci in range(n_chunks)
+        for ci in range(len(bufs))
     ]
     out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
     return jnp.transpose(out, (1, 0, 2))
+
+
+def extract_group_features_blocks(
+    backbone_variables,
+    points,
+    keypoints,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Production extractor on the block-dense engine (sparse/block.py):
+    host payload build (:func:`build_cloud_payloads`) + async device
+    dispatch (:func:`dispatch_cloud_payloads`). Same semantics as
+    :func:`extract_group_features` (testset.py parity: 60 rotations,
+    keypoint nearest-voxel lookup).
+
+    Whole-cloud build granularity (vs the round-2 interleaved loop) keeps
+    the host off the critical path: no host synchronization between
+    chunks, so callers can dispatch several clouds back-to-back and the
+    device queue stays full while the host builds the next cloud —
+    describe wall time ~= device compute time even on a contended 2-core
+    host. Compute stays in chunk-sized programs: one lax.map over all 60
+    rotations was measured to compile pathologically on the remote
+    compiler (>45 min vs ~8 min for the chunk program).
+    """
+    bufs, kbs, caps = build_cloud_payloads(points, keypoints, cfg)
+    return dispatch_cloud_payloads(backbone_variables, bufs, kbs, caps, cfg)

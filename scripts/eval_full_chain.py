@@ -37,26 +37,24 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
-    import orbax.checkpoint as ocp
 
     from roreg_tpu.data.synthetic import make_synthetic_scene
-    from roreg_tpu.pipeline.config import PipelineConfig
 
     t0 = time.time()
 
     def log(msg):
         print(f"[evalchain +{time.time() - t0:.0f}s] {msg}", flush=True)
 
-    # identical to validate_quality.py --small (the config the
-    # checkpoints were trained under)
-    cfg = PipelineConfig(
-        voxel_size=0.05, group_size=args.group_size,
-        capacities=(8192, 4096, 2048, 1024),
-        block_caps=(1024, 512, 256, 128), conv1_kernel_size=5,
-        group_chunk=6 if args.group_size == 60 else 4,
-        num_keypoints=1024, keynum=1024, max_iter=1000, ransac_ird=0.1,
+    # the canonical config the checkpoints were trained under — shared
+    # with validate_quality.py / resume_full_chain.py so it can never
+    # silently desynchronize (round-3 advisor finding)
+    from roreg_tpu.pipeline.quality_config import (
+        quality_scene_params,
+        quality_small_config,
     )
-    ppc, extent = 8000, 1.6
+
+    cfg = quality_small_config(args.group_size)
+    ppc, extent = quality_scene_params(small=True)
 
     # same rng stream as validate_quality.main: 3 train scenes then test
     rng = np.random.default_rng(0)
@@ -75,13 +73,19 @@ def main():
     test_scene.name = "test"
     log("scenes rebuilt (deterministic)")
 
-    ck = ocp.StandardCheckpointer()
+    # template-checked restore through the repo helper: failures surface
+    # as clear per-path shape mismatches instead of orbax topology errors
+    from roreg_tpu.pipeline.registration import RegistrationPipeline
+    from roreg_tpu.train.checkpoints import load_pipeline_variables
+
+    pipe = RegistrationPipeline(cfg, {})
+    templates = pipe.init_variables(jax.random.PRNGKey(0))
     ckdir = os.path.join(REPO, "checkpoints_quality")
-    variables = {}
-    for comp in ("backbone", "gf", "rd", "rm", "et"):
-        variables[comp] = ck.restore(
-            os.path.abspath(os.path.join(ckdir, f"{comp}_variables"))
-        )
+    variables = load_pipeline_variables(ckdir, templates)
+    missing = [c for c in ("backbone", "gf", "rd", "rm", "et")
+               if c not in variables]
+    if missing:
+        raise SystemExit(f"missing checkpoints for {missing} under {ckdir}")
     log("all five component checkpoints restored")
 
     spec = importlib.util.spec_from_file_location(
@@ -98,10 +102,11 @@ def main():
     except Exception:
         out = {"config": {}, "pairs": [], "rr": None}
     out["full_chain"] = full_chain
-    out["config"]["note"] = (
-        "baseline chain + full chain evaluated from checkpoints_quality/ "
-        "(scripts/eval_full_chain.py); RM/ET/RD weights from the round-3 "
-        "full-chain training run"
+    # append full-chain provenance without destroying the existing
+    # config.note (it documents how the baseline 'pairs' were produced)
+    out["full_chain_note"] = (
+        "full chain evaluated from checkpoints_quality/ "
+        "(scripts/eval_full_chain.py)"
     )
     out["full_chain_wall_s"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:

@@ -37,20 +37,15 @@ def main():
     import orbax.checkpoint as ocp
 
     from roreg_tpu.data.dataset import ThreeDMatchDataset
-    from roreg_tpu.pipeline.config import PipelineConfig
 
     t0 = time.time()
 
     def log(msg):
         print(f"[resume +{time.time() - t0:.0f}s] {msg}", flush=True)
 
-    cfg = PipelineConfig(
-        voxel_size=0.05, group_size=args.group_size,
-        capacities=(8192, 4096, 2048, 1024),
-        block_caps=(1024, 512, 256, 128), conv1_kernel_size=5,
-        group_chunk=6 if args.group_size == 60 else 4,
-        num_keypoints=1024, keynum=1024, max_iter=1000, ransac_ird=0.1,
-    )
+    from roreg_tpu.pipeline.quality_config import quality_small_config
+
+    cfg = quality_small_config(args.group_size)
     ck = ocp.StandardCheckpointer()
     ckdir = os.path.join(REPO, "checkpoints_quality")
     backbone_vars = ck.restore(os.path.abspath(f"{ckdir}/backbone_variables"))

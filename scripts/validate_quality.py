@@ -58,7 +58,6 @@ def main():
     from roreg_tpu.core import se3, so3
     from roreg_tpu.data.synthetic import make_synthetic_scene
     from roreg_tpu.pipeline import estimator as est
-    from roreg_tpu.pipeline.config import PipelineConfig
     from roreg_tpu.pipeline.extractor import extract
     from roreg_tpu.pipeline.registration import RegistrationPipeline, gf_apply
     from roreg_tpu.train.backbone import (
@@ -73,42 +72,19 @@ def main():
     def log(msg):
         print(f"[quality +{time.time() - t_start:.0f}s] {msg}", flush=True)
 
-    if args.small:
-        # CPU-tractable: coarser voxels + smaller clouds shrink every graph
-        cfg = PipelineConfig(
-            voxel_size=0.05,
-            group_size=args.group_size,
-            capacities=(8192, 4096, 2048, 1024),
-            block_caps=(1024, 512, 256, 128),
-            conv1_kernel_size=5,
-            group_chunk=6 if args.group_size == 60 else 4,
-            num_keypoints=1024,
-            keynum=1024,
-            max_iter=1000,
-            ransac_ird=0.1,
-        )
-        ppc = 8000
-        # ~2.7 points per 5 cm voxel (real-3DMatch-like density): at the
-        # former 3.0 m extent the occupancy was ~0.5 pts/voxel and conv
-        # features saw mostly sampling holes — hardest-contrastive
-        # training plateaued (pos~0.73 > neg~0.51 flat for 1000+ steps)
-        extent = 1.6
-    else:
-        cfg = PipelineConfig(
-            voxel_size=0.025,
-            group_size=args.group_size,
-            capacities=(16384, 8192, 4096, 2048),
-            conv1_kernel_size=5,
-            group_chunk=6 if args.group_size == 60 else 4,
-            num_keypoints=2048,
-            keynum=2048,
-            max_iter=1000,
-            ransac_ird=0.07,
-        )
-        ppc = 20000
-        # 20000 pts / 2.5 cm voxels needs a comparable density bump:
-        # ~2.5 m^2-scale surface keeps several points per voxel
-        extent = 2.0
+    # canonical quality configs, shared with resume_full_chain.py /
+    # eval_full_chain.py / tests/test_checkpoint_compat.py so training and
+    # evaluation can never silently desynchronize
+    from roreg_tpu.pipeline.quality_config import (
+        quality_full_config,
+        quality_scene_params,
+        quality_small_config,
+    )
+
+    cfg = (quality_small_config if args.small else quality_full_config)(
+        args.group_size
+    )
+    ppc, extent = quality_scene_params(small=args.small)
     if not args.cpu:
         # fail fast-and-loud on a cold TPU describe compile (VERDICT #6)
         from roreg_tpu.utils.compile_guard import check_describe_signature
