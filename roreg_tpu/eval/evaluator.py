@@ -36,6 +36,15 @@ class Evaluator:
         from roreg_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
+        # commit the variables tree to the compute device ONCE: host-side
+        # (CPU-backend) trees otherwise re-upload on EVERY jit dispatch —
+        # ~67 MB/call through a tunneled TPU, measured as the dominant
+        # cost of the round-3 bench (docs/perf_ground_truth.md)
+        if self.mesh is None and self.pipeline.variables:
+            dev = jax.devices()[0]
+            self.pipeline.variables = jax.device_put(
+                self.pipeline.variables, dev
+            )
 
     def describe_cloud(self, ds: ThreeDMatchDataset, pc_id):
         """-> (bb (K,G,32), gf (K,G,32), det (K,)) with optional disk cache."""

@@ -347,12 +347,66 @@ def _put_async(host_arr):
     return dev
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "g", "caps")
+)
+def _backbone_chunk_blocks_sliced(
+    backbone_variables,
+    payload: jnp.ndarray,
+    key_rows: jnp.ndarray,
+    ci: jnp.ndarray,
+    cfg: PipelineConfig,
+    chunk: int,
+    g: int,
+    caps: tuple[int, ...] | None = None,
+) -> jnp.ndarray:
+    """Chunk program over a WHOLE-cloud payload: ``payload`` packs all
+    ``g`` rotations' block pyramids (one host->device put per cloud
+    instead of one per chunk — dispatch-latency resilience on tunneled
+    TPUs), ``ci`` is the TRACED chunk index, so ONE compiled program
+    serves all ``g // chunk`` chunks. Unpack is slice/bitcast bookkeeping
+    XLA fuses into the consumers; the dynamic chunk slice reads only the
+    chunk's bytes."""
+    from roreg_tpu.sparse.block import BlockResUNet, unpack_block_payload
+
+    net = BlockResUNet(
+        variant=cfg.backbone_variant,
+        out_channels=32,
+        conv1_kernel_size=cfg.conv1_kernel_size,
+        compute_dtype=cfg.backbone_compute_dtype,
+    )
+    bpyr_all = unpack_block_payload(
+        payload, caps if caps is not None else cfg.block_caps, g
+    )
+    start = ci * chunk
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
+    bpyr_stack = jax.tree_util.tree_map(sl, bpyr_all)
+    rows_stack = jax.lax.dynamic_slice_in_dim(key_rows, start, chunk, axis=0)
+
+    def one(args):
+        bp, rows = args
+        feats = net.apply(backbone_variables, bp, False)  # (Bcap0*64, 32)
+        f = feats[jnp.clip(rows, 0)]
+        return jnp.where((rows >= 0)[:, None], f, 0.0)
+
+    rb = cfg.rot_vmap
+    if rb <= 1 or chunk % rb:
+        return jax.lax.map(one, (bpyr_stack, rows_stack))
+    grouped = jax.tree_util.tree_map(
+        lambda x: x.reshape((chunk // rb, rb) + x.shape[1:]),
+        (bpyr_stack, rows_stack),
+    )
+    out = jax.lax.map(lambda args: jax.vmap(one)(args), grouped)
+    return out.reshape((chunk,) + out.shape[2:])
+
+
 def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
     """Host-only half of the block-engine extractor: build ALL g rotations'
     block tables + occupancy words (~1 MB/rotation, GIL-free C++ on a
-    thread pool) into group_chunk-sized packed payloads, with the loud
-    overflow->fallback-capacity rebuild. Returns ``(bufs, kbs, caps)``
-    ready for :func:`dispatch_cloud_payloads`.
+    thread pool) into ONE whole-cloud packed payload, with the loud
+    overflow->fallback-capacity rebuild. Returns
+    ``(payload (total,) uint8, key_rows (g, K) int32, caps)`` ready for
+    :func:`dispatch_cloud_payloads`.
 
     Exposed separately so callers that amortize descriptor work (the
     reference amortizes it from disk caches, testset.py once per cloud)
@@ -369,8 +423,6 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
     group = get_group(cfg.group_size)
     rots = group.rotations.astype(np.float32)
     g = cfg.group_size
-    chunk = _effective_chunk(g, cfg.group_chunk)
-    n_chunks = g // chunk
 
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)
@@ -378,22 +430,21 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
         pool = _build_pool()
 
     def build_cloud(caps):
-        bufs = [alloc_block_buffers_packed(caps, chunk) for _ in range(n_chunks)]
-        kbs = [np.empty((chunk, kps.shape[0]), np.int32) for _ in range(n_chunks)]
+        payload, tree = alloc_block_buffers_packed(caps, g)
+        kb = np.empty((g, kps.shape[0]), np.int32)
 
         def one(gi):
-            ci, gj = divmod(gi, chunk)
             R = rots[gi]
             return fill_block_pyramid_host(
-                pts @ R.T, cfg.voxel_size, block_tree_slice(bufs[ci][1], gj),
-                keys=kps @ R.T, key_rows=kbs[ci][gj],
+                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi),
+                keys=kps @ R.T, key_rows=kb[gi],
             )
 
         dropped = sum(pool.map(one, range(g)))
-        return bufs, kbs, dropped
+        return payload, kb, dropped
 
     caps = cfg.block_caps
-    bufs, kbs, dropped = build_cloud(caps)
+    payload, kb, dropped = build_cloud(caps)
     if dropped and cfg.block_caps_fallback is not None:
         import sys
 
@@ -404,30 +455,38 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
             file=sys.stderr, flush=True,
         )
         caps = cfg.block_caps_fallback
-        bufs, kbs, dropped = build_cloud(caps)
+        payload, kb, dropped = build_cloud(caps)
         if dropped:
             print(
                 f"[extract] fallback capacities ALSO overflow "
                 f"({dropped} blocks dropped) — results degrade",
                 file=sys.stderr, flush=True,
             )
-    return bufs, kbs, caps
+    return payload, kb, caps
 
 
 def dispatch_cloud_payloads(
-    backbone_variables, bufs, kbs, caps, cfg: PipelineConfig
+    backbone_variables, payload, key_rows, caps, cfg: PipelineConfig
 ) -> jnp.ndarray:
-    """Device half of the block-engine extractor: async host->device puts
-    + one chunk-program dispatch per payload, all issued back-to-back from
-    the calling thread (no host synchronization). -> (K, G, 32) lazily."""
-    chunk = _effective_chunk(cfg.group_size, cfg.group_chunk)
+    """Device half of the block-engine extractor: ONE async host->device
+    payload put per cloud + one sliced-chunk dispatch per chunk, all
+    issued back-to-back from the calling thread (no host synchronization).
+    -> (K, G, 32) lazily."""
+    g = cfg.group_size
+    chunk = _effective_chunk(g, cfg.group_chunk)
     caps_arg = None if caps == cfg.block_caps else caps
+    dev_payload = _put_async(payload)
+    dev_rows = _put_async(key_rows)
+    import numpy as np
+
     outs = [
-        _backbone_chunk_blocks(
-            backbone_variables, _put_async(bufs[ci][0]), _put_async(kbs[ci]),
-            cfg, chunk, caps=caps_arg,
+        # np.int32 scalar: rides the dispatch RPC (no separate device op),
+        # and jit keys on dtype/shape so all chunks share ONE program
+        _backbone_chunk_blocks_sliced(
+            backbone_variables, dev_payload, dev_rows, np.int32(ci),
+            cfg, chunk, g, caps=caps_arg,
         )
-        for ci in range(len(bufs))
+        for ci in range(g // chunk)
     ]
     out = jnp.concatenate(outs, axis=0)  # (G, K, 32)
     return jnp.transpose(out, (1, 0, 2))

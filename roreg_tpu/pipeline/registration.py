@@ -36,7 +36,7 @@ from roreg_tpu.pipeline.matcher import (
     top_match_subset,
 )
 
-__all__ = ["RegistrationPipeline", "gf_apply", "rd_apply"]
+__all__ = ["RegistrationPipeline", "gf_apply", "rd_apply", "describe_tail"]
 
 
 # --------------------------------------------------------------------------
@@ -223,6 +223,30 @@ def pair_stage(
         "est_valid": est_valid,
         "dr_index": dr,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def describe_tail(
+    variables,
+    bb: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    rng: jax.Array,
+    cfg: PipelineConfig,
+):
+    """Backbone group feats -> (bb_s, gf_s, kp_s) sampled triples as ONE
+    program: GF descriptor, RD saliency, NMS/random keypoint sampling and
+    the three gathers fused. On tunneled TPUs every eager stage boundary
+    is a dispatch round trip (measured up to ~1.7 s under a degraded
+    tunnel), so the per-cloud tail collapses ~6 dispatches into 1."""
+    gf = gf_apply(variables["gf"], bb, cfg)
+    ones = jnp.ones(keypoints.shape[0], bool)
+    if cfg.use_rd:
+        det = rd_apply(variables["rd"], gf, ones, cfg)
+        s = nms_sample(keypoints, det, ones, cfg.keynum, cfg.nms_k)
+    else:
+        noise = jax.random.uniform(rng, (keypoints.shape[0],))
+        s = jax.lax.top_k(noise, cfg.keynum)[1]
+    return bb[s], gf[s], keypoints[s]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
