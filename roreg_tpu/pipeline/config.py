@@ -65,7 +65,9 @@ class PipelineConfig:
     # matcher
     use_rd: bool = True
     use_rm: bool = True
-    match_n: float = 0.999  # fraction/number of top matches kept (Test.py)
+    # fraction of top RM matches kept for estimation (reference default
+    # 0.5, parses_test.py:51); [0.999, 1) = use all, >= 1 = top-n count
+    match_n: float = 0.5
     sinkhorn_iters: int = 100
     coor_norm_step: float = 0.025
     # RM blocked-kNN row size for large keynum; None = auto (single GEMM

@@ -80,12 +80,21 @@ def mutual_match(feats0: jnp.ndarray, feats1: jnp.ndarray,
 def top_match_subset(scores: jnp.ndarray, valid: jnp.ndarray, match_n: float,
                      keynum: int) -> jnp.ndarray:
     """RM top-match selection mask (test/estimator.py:188-198): keep the
-    best ``match_n`` fraction (or count) of valid matches by score."""
+    best ``match_n`` fraction (min 10) of valid matches by score; values
+    in [0.999, 1) mean "use all" (the reference encodes this via
+    ``argsort(scores)[-int(0.999):]`` == ``[-0:]`` == everything, per the
+    ``--match_n`` help text "0.99 to use all"); values >= 1 are a top-n
+    count. Round-3 regression: 0.999 hit the count branch as int(0.999)=0
+    and silenced EVERY RM-chain estimate."""
     nvalid = jnp.sum(valid)
-    if match_n < 0.999:
-        num = jnp.maximum((nvalid * match_n).astype(jnp.int32), 10)
-    else:
+    if match_n >= 1.0:
         num = jnp.minimum(jnp.asarray(int(match_n), jnp.int32), nvalid)
+    elif match_n >= 0.999:
+        num = nvalid  # "use all" sentinel
+    else:
+        num = jnp.minimum(
+            jnp.maximum((nvalid * match_n).astype(jnp.int32), 10), nvalid
+        )
     s = jnp.where(valid, scores, -_BIG)
     order = jnp.argsort(-s)
     rank = jnp.zeros_like(order).at[order].set(jnp.arange(s.shape[0]))

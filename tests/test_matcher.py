@@ -77,6 +77,17 @@ def test_top_match_subset_fraction():
     assert m[50:].all() and not m[:50].any()
 
 
+def test_top_match_subset_use_all_sentinel():
+    """match_n in [0.999, 1) means USE ALL valid matches (reference
+    --match_n help: '0.99 to use all'; estimator.py:188-193 encodes it as
+    argsort[-int(0.999):] == [-0:] == everything). The round-3 regression
+    mapped 0.999 to int()==0 and silenced every RM-chain estimate."""
+    scores = jnp.asarray(np.arange(100, dtype=np.float32))
+    valid = jnp.asarray(np.arange(100) % 2 == 0)
+    m = np.asarray(top_match_subset(scores, valid, 0.999, 100))
+    assert (m == np.asarray(valid)).all()  # exactly the valid set
+
+
 def test_top_match_subset_count():
     scores = jnp.asarray(np.arange(100, dtype=np.float32))
     valid = jnp.ones(100, bool)
