@@ -26,6 +26,7 @@ from roreg_tpu.sparse.kernel_map import hypercube_offsets
 __all__ = [
     "alloc_block_buffers",
     "alloc_block_buffers_packed",
+    "alloc_block_buffers_packed_rows",
     "payload_spec",
     "fill_block_pyramid_host",
     "fill_block_pyramid_numpy",
@@ -149,6 +150,38 @@ def alloc_block_buffers_packed(
         tree.down_tbl[l][:] = -1
         tree.up_tbl[l][:] = -1
     return payload, tree
+
+
+def alloc_block_buffers_packed_rows(
+    block_caps: tuple[int, ...], batch: int, rows: int, num_levels: int = 4
+):
+    """-> (payload (rows, total) uint8, [BlockPyramidDev views per row]).
+
+    ``rows`` chunk payloads laid out as rows of ONE contiguous array: the
+    caller ships a whole cloud with a single host->device put and the
+    chunk program dynamic-indexes its row (keeping the per-chunk unpack
+    graph identical to the proven single-payload program — the batch=60
+    whole-cloud unpack variant was measured to compile pathologically).
+    """
+    spec, total = payload_spec(block_caps, batch, num_levels)
+    payload = np.zeros((rows, total), np.uint8)
+    trees = []
+    for r in range(rows):
+        row = payload[r]
+        fields = {}
+        for name, shape, dt, off in spec:
+            v = np.frombuffer(
+                row.data, dtype=dt, count=int(np.prod(shape)), offset=off
+            ).reshape(shape)
+            fields[name] = v
+        tree = _tree_from_fields(fields, num_levels)
+        for l in range(num_levels):
+            tree.levels[l].same_tbl[:] = -1
+        for l in range(num_levels - 1):
+            tree.down_tbl[l][:] = -1
+            tree.up_tbl[l][:] = -1
+        trees.append(tree)
+    return payload, trees
 
 
 def block_tree_slice(buf: BlockPyramidDev, i: int) -> BlockPyramidDev:

@@ -348,25 +348,25 @@ def _put_async(host_arr):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "chunk", "g", "caps")
+    jax.jit, static_argnames=("cfg", "chunk", "caps")
 )
-def _backbone_chunk_blocks_sliced(
+def _backbone_chunk_blocks_rows(
     backbone_variables,
-    payload: jnp.ndarray,
+    payload_rows: jnp.ndarray,
     key_rows: jnp.ndarray,
     ci: jnp.ndarray,
     cfg: PipelineConfig,
     chunk: int,
-    g: int,
     caps: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
-    """Chunk program over a WHOLE-cloud payload: ``payload`` packs all
-    ``g`` rotations' block pyramids (one host->device put per cloud
-    instead of one per chunk — dispatch-latency resilience on tunneled
-    TPUs), ``ci`` is the TRACED chunk index, so ONE compiled program
-    serves all ``g // chunk`` chunks. Unpack is slice/bitcast bookkeeping
-    XLA fuses into the consumers; the dynamic chunk slice reads only the
-    chunk's bytes."""
+    """Chunk program over a whole-cloud payload stored as CHUNK ROWS:
+    ``payload_rows`` (n_chunks, chunk_bytes) packs all rotations' block
+    pyramids (ONE host->device put per cloud — dispatch-latency resilience
+    on tunneled TPUs); ``ci`` is the TRACED chunk index, so one compiled
+    program serves every chunk. The program first dynamic-indexes its row,
+    then unpacks exactly like the per-chunk payload program — the
+    batch=60 whole-cloud unpack variant was measured to compile
+    pathologically on the remote compiler (>20 min vs ~7)."""
     from roreg_tpu.sparse.block import BlockResUNet, unpack_block_payload
 
     net = BlockResUNet(
@@ -375,13 +375,15 @@ def _backbone_chunk_blocks_sliced(
         conv1_kernel_size=cfg.conv1_kernel_size,
         compute_dtype=cfg.backbone_compute_dtype,
     )
-    bpyr_all = unpack_block_payload(
-        payload, caps if caps is not None else cfg.block_caps, g
+    payload = jax.lax.dynamic_index_in_dim(
+        payload_rows, ci, axis=0, keepdims=False
     )
-    start = ci * chunk
-    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
-    bpyr_stack = jax.tree_util.tree_map(sl, bpyr_all)
-    rows_stack = jax.lax.dynamic_slice_in_dim(key_rows, start, chunk, axis=0)
+    rows_stack = jax.lax.dynamic_index_in_dim(
+        key_rows, ci, axis=0, keepdims=False
+    )
+    bpyr_stack = unpack_block_payload(
+        payload, caps if caps is not None else cfg.block_caps, chunk
+    )
 
     def one(args):
         bp, rows = args
@@ -405,8 +407,8 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
     block tables + occupancy words (~1 MB/rotation, GIL-free C++ on a
     thread pool) into ONE whole-cloud packed payload, with the loud
     overflow->fallback-capacity rebuild. Returns
-    ``(payload (total,) uint8, key_rows (g, K) int32, caps)`` ready for
-    :func:`dispatch_cloud_payloads`.
+    ``(payload (n_chunks, chunk_bytes) uint8, key_rows (n_chunks, chunk,
+    K) int32, caps)`` ready for :func:`dispatch_cloud_payloads`.
 
     Exposed separately so callers that amortize descriptor work (the
     reference amortizes it from disk caches, testset.py once per cloud)
@@ -415,7 +417,7 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
     import numpy as np
 
     from roreg_tpu.native.blockpyr import (
-        alloc_block_buffers_packed,
+        alloc_block_buffers_packed_rows,
         block_tree_slice,
         fill_block_pyramid_host,
     )
@@ -423,6 +425,8 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
     group = get_group(cfg.group_size)
     rots = group.rotations.astype(np.float32)
     g = cfg.group_size
+    chunk = _effective_chunk(g, cfg.group_chunk)
+    n_chunks = g // chunk
 
     pts = np.ascontiguousarray(points, np.float32)
     kps = np.ascontiguousarray(keypoints, np.float32)
@@ -430,14 +434,15 @@ def build_cloud_payloads(points, keypoints, cfg: PipelineConfig, pool=None):
         pool = _build_pool()
 
     def build_cloud(caps):
-        payload, tree = alloc_block_buffers_packed(caps, g)
-        kb = np.empty((g, kps.shape[0]), np.int32)
+        payload, trees = alloc_block_buffers_packed_rows(caps, chunk, n_chunks)
+        kb = np.empty((n_chunks, chunk, kps.shape[0]), np.int32)
 
         def one(gi):
+            ci, gj = divmod(gi, chunk)
             R = rots[gi]
             return fill_block_pyramid_host(
-                pts @ R.T, cfg.voxel_size, block_tree_slice(tree, gi),
-                keys=kps @ R.T, key_rows=kb[gi],
+                pts @ R.T, cfg.voxel_size, block_tree_slice(trees[ci], gj),
+                keys=kps @ R.T, key_rows=kb[ci, gj],
             )
 
         dropped = sum(pool.map(one, range(g)))
@@ -469,7 +474,7 @@ def dispatch_cloud_payloads(
     backbone_variables, payload, key_rows, caps, cfg: PipelineConfig
 ) -> jnp.ndarray:
     """Device half of the block-engine extractor: ONE async host->device
-    payload put per cloud + one sliced-chunk dispatch per chunk, all
+    payload put per cloud + one row-chunk dispatch per chunk, all
     issued back-to-back from the calling thread (no host synchronization).
     -> (K, G, 32) lazily."""
     g = cfg.group_size
@@ -482,9 +487,9 @@ def dispatch_cloud_payloads(
     outs = [
         # np.int32 scalar: rides the dispatch RPC (no separate device op),
         # and jit keys on dtype/shape so all chunks share ONE program
-        _backbone_chunk_blocks_sliced(
+        _backbone_chunk_blocks_rows(
             backbone_variables, dev_payload, dev_rows, np.int32(ci),
-            cfg, chunk, g, caps=caps_arg,
+            cfg, chunk, caps=caps_arg,
         )
         for ci in range(g // chunk)
     ]

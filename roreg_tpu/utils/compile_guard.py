@@ -36,9 +36,9 @@ def describe_signature(cfg, extra: dict | None = None) -> str:
     """Stable hash of every config field that shapes the describe HLO."""
     payload = {
         # bump when the traced program structure changes without a config
-        # field changing (e.g. round 4: whole-cloud payload + sliced-chunk
-        # program replaced the per-chunk payload program)
-        "layout_rev": 2,
+        # field changing (e.g. round 4: whole-cloud payload as chunk ROWS +
+        # dynamic-row-index chunk program replaced the per-chunk payloads)
+        "layout_rev": 3,
         "engine": cfg.engine,
         "block_caps": list(cfg.block_caps),
         "block_caps_fallback": (
