@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="reduced capacities/cloud sizes (CPU-tractable)")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
+    ap.add_argument("--ckdir", default=os.path.join(REPO, "checkpoints_quality"),
+                    help="checkpoint output dir (use a non-default dir for "
+                         "ablation/full-size runs so the committed small-config "
+                         "checkpoints are never clobbered mid-run)")
     args = ap.parse_args()
 
     import jax
@@ -160,7 +164,7 @@ def main():
     # ---- save checkpoints for reuse ----
     from roreg_tpu.train.checkpoints import save_variables
 
-    ckdir = os.path.join(REPO, "checkpoints_quality")
+    ckdir = args.ckdir
     save_variables(os.path.join(ckdir, "backbone_variables"), backbone_vars)
     save_variables(os.path.join(ckdir, "gf_variables"), gf_vars)
 
@@ -291,7 +295,7 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
     log("RM trained")
     from roreg_tpu.train.checkpoints import save_variables
 
-    ckdir = os.path.join(REPO, "checkpoints_quality")
+    ckdir = args.ckdir
     save_variables(os.path.join(ckdir, "rm_variables"), rm_vars)
 
     # ---- ET (frozen GF) ----

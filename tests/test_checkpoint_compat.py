@@ -39,9 +39,29 @@ def test_committed_checkpoint_restores_at_head(comp, quality_templates):
     if not os.path.isdir(path):
         pytest.skip(f"no committed checkpoint for {comp}")
 
+    _check_restore(path, quality_templates[comp], comp, "checkpoints_quality")
+
+
+@pytest.mark.parametrize("comp", COMPONENTS)
+def test_full_size_checkpoint_restores_at_head(comp):
+    """Same audit for the protocol-scale run's checkpoints
+    (``checkpoints_quality_full/``, voxel 0.025 / keynum 2048 config)."""
+    path = os.path.join(REPO, "checkpoints_quality_full", f"{comp}_variables")
+    if not os.path.isdir(path):
+        pytest.skip(f"no committed full-size checkpoint for {comp}")
+
+    from roreg_tpu.pipeline.quality_config import quality_full_config
+    from roreg_tpu.pipeline.registration import RegistrationPipeline
+
+    pipe = RegistrationPipeline(quality_full_config(), {})
+    templates = pipe.init_variables(jax.random.PRNGKey(0))
+    _check_restore(path, templates[comp], comp, "checkpoints_quality_full")
+
+
+def _check_restore(path, template, comp, label):
+
     import orbax.checkpoint as ocp
 
-    template = quality_templates[comp]
     ckptr = ocp.StandardCheckpointer()
 
     # shape audit with per-path reporting
@@ -68,7 +88,7 @@ def test_committed_checkpoint_restores_at_head(comp, quality_templates):
         if k not in tpl_leaves:
             problems.append(f"extra in checkpoint: {k} {meta_leaves[k]}")
     assert not problems, (
-        f"checkpoints_quality/{comp}_variables is incompatible with the "
+        f"{label}/{comp}_variables is incompatible with the "
         f"current {comp} module definition:\n  " + "\n  ".join(problems)
     )
 
