@@ -408,17 +408,81 @@ def conv_up(feats_coarse, up_tbl, w, dst_cell_mask, compute_dtype=None):
     return jnp.where(dst_cell_mask[..., None], out, 0.0)
 
 
+_CONV1_DENSE_MAPS: dict = {}
+
+
+def _conv1_dense_map(ksize: int) -> np.ndarray:
+    """Static tap map for the dense-GEMM conv1 lowering.
+
+    Returns tapidx (27, 64, 64) int32: ``tapidx[n, c, u]`` is the kernel
+    row of ``w`` connecting source cell ``c`` of neighbor block ``n``
+    (hypercube order) to output cell ``u`` (x-major), or ``ksize**3``
+    (a zero row) when the offset falls outside the kernel support. Each
+    (n, c, u) has at most one tap: the absolute source position is
+    unique per (n, c), so the offset u->source is unique.
+    """
+    if ksize not in _CONV1_DENSE_MAPS:
+        koff, cell, _ = _conv1_maps(ksize)
+        span = BLOCK - 1 + ksize
+        kv = ksize**3
+        tap = np.full((27, CELLS, CELLS), kv, np.int32)
+        s = np.arange(span)
+        hx, hy, hz = (m.reshape(-1) for m in np.meshgrid(s, s, s, indexing="ij"))
+        for u_flat in range(CELLS):
+            x, y, z = u_flat // 16, (u_flat // 4) % 4, u_flat % 4
+            i, j, k = hx - x, hy - y, hz - z
+            ok = (
+                (i >= 0) & (i < ksize)
+                & (j >= 0) & (j < ksize)
+                & (k >= 0) & (k < ksize)
+            )
+            t = i * ksize * ksize + j * ksize + k
+            tap[koff[ok], cell[ok], u_flat] = t[ok]
+        _CONV1_DENSE_MAPS[ksize] = tap
+    return _CONV1_DENSE_MAPS[ksize]
+
+
 def conv1_occupancy(occ, tbl, w, cell_mask, kernel_size=7, compute_dtype=None):
-    """First conv over FCGF's all-ones input: occupancy halo + im2col GEMM
+    """First conv over FCGF's all-ones input: occupancy in, dense GEMM out
     (reference ``backbone/fcgf/misc.py:70`` feeds ones, so only neighbor
     existence matters). w (K^3, 1, Cout).
 
-    Cin=1 makes XLA's dense-conv lowering pathological (~10 min compiles
-    measured), so this path never touches lax.conv: the 0/1 halo is built
-    by a 27-neighbor block gather + one small static take, the im2col by
-    three per-axis takes (axis-factorized: each is a 4*K-entry static
-    take, avoiding the 64*K^3-entry take whose gather-expansion also
-    compiles pathologically), then one (B*64, K^3) @ (K^3, Cout) GEMM.
+    Cin=1 + binary input makes both XLA's dense-conv lowering (~10 min
+    compiles) and a (B*64, K^3) im2col (126 MB materialized at bench
+    caps — measured 4.2 ms/rotation, gather-bound) pathological. The
+    MXU-native formulation instead folds the static conv structure into
+    the weights: a (27*64, 64*Cout) matrix M with
+    ``M[n*64+c, u*Cout+o] = w[tap(n,c,u), o]`` (zero where no tap) turns
+    the whole conv into the single GEMM ``nbr (B, 27*64) @ M`` over the
+    already-gathered neighbor occupancy. 5x the im2col FLOPs but ~5x
+    less HBM traffic — conv1 drops to ~1 ms/rotation composed (measured
+    via scripts/experiment_fold_ceilings.py; ceiling was 2.46).
+    """
+    ks = kernel_size
+    assert ks <= 9, "kernel must fit the 27-neighbor halo"
+    b = tbl.shape[0]
+    cout = w.shape[2]
+    cd = compute_dtype or jnp.float32
+    occ_f = occ.astype(cd)
+    wq = w.reshape(ks**3, cout)
+    if compute_dtype is not None:
+        wq = wq.astype(compute_dtype)
+    tap = jnp.asarray(_conv1_dense_map(ks).reshape(-1))
+    w_pad = jnp.concatenate([wq, jnp.zeros((1, cout), wq.dtype)], axis=0)
+    m = jnp.take(w_pad, tap, axis=0).reshape(27 * CELLS, CELLS * cout)
+    nbr = jnp.take(occ_f, jnp.clip(tbl, 0).astype(jnp.int32), axis=0)
+    nbr = jnp.where((tbl >= 0)[..., None], nbr, jnp.zeros((), nbr.dtype))
+    out = jnp.dot(
+        nbr.reshape(b, 27 * CELLS), m, preferred_element_type=jnp.float32
+    )
+    out = out.reshape(b, CELLS, cout)
+    return jnp.where(cell_mask[..., None], out, 0.0)
+
+
+def conv1_occupancy_im2col(occ, tbl, w, cell_mask, kernel_size=7,
+                           compute_dtype=None):
+    """Axis-factorized im2col lowering of conv1, kept as the oracle for
+    the dense-GEMM path (tests/test_block.py) and for ablation.
     """
     ks = kernel_size
     assert ks <= 9, "kernel must fit the 27-neighbor halo"

@@ -371,3 +371,29 @@ def test_extractor_rot_vmap_parity():
         variables, pts, kps, dataclasses.replace(base, rot_vmap=2)
     ))
     np.testing.assert_allclose(out1, out2, atol=1e-5, rtol=1e-5)
+
+
+def test_conv1_dense_gemm_matches_im2col_oracle():
+    """The MXU-native dense-GEMM conv1 lowering must agree with the
+    axis-factorized im2col oracle for every supported kernel size."""
+    import roreg_tpu.sparse.block as B
+
+    rng = np.random.default_rng(3)
+    for ks in (3, 5, 7):
+        bc = 48
+        tbl = rng.integers(-1, bc, size=(bc, 27)).astype(np.int16)
+        tbl[:, 13] = np.arange(bc)
+        occ = (rng.random((bc, 64)) < 0.4).astype(np.float32)
+        w = rng.normal(size=(ks**3, 1, 16)).astype(np.float32)
+        mask = rng.random((bc, 64)) < 0.9
+        dense = B.conv1_occupancy(
+            jnp.asarray(occ), jnp.asarray(tbl), jnp.asarray(w),
+            jnp.asarray(mask), kernel_size=ks,
+        )
+        oracle = B.conv1_occupancy_im2col(
+            jnp.asarray(occ), jnp.asarray(tbl), jnp.asarray(w),
+            jnp.asarray(mask), kernel_size=ks,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(oracle), atol=5e-5, rtol=1e-5
+        )
