@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--group_size", type=int, default=60)
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
+    ap.add_argument("--ckdir", default=os.path.join(REPO, "checkpoints_quality"))
+    ap.add_argument("--merge_key", default="full_chain",
+                    help="QUALITY.json key to write the result under")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +83,7 @@ def main():
 
     pipe = RegistrationPipeline(cfg, {})
     templates = pipe.init_variables(jax.random.PRNGKey(0))
-    ckdir = os.path.join(REPO, "checkpoints_quality")
+    ckdir = args.ckdir
     variables = load_pipeline_variables(ckdir, templates)
     missing = [c for c in ("backbone", "gf", "rd", "rm", "et")
                if c not in variables]
@@ -101,14 +104,14 @@ def main():
             out = json.load(f)
     except Exception:
         out = {"config": {}, "pairs": [], "rr": None}
-    out["full_chain"] = full_chain
-    # append full-chain provenance without destroying the existing
-    # config.note (it documents how the baseline 'pairs' were produced)
-    out["full_chain_note"] = (
-        "full chain evaluated from checkpoints_quality/ "
+    out[args.merge_key] = full_chain
+    # append provenance without destroying the existing config.note
+    # (it documents how the baseline 'pairs' were produced)
+    out[f"{args.merge_key}_note"] = (
+        f"full chain evaluated from {os.path.basename(ckdir)}/ "
         "(scripts/eval_full_chain.py)"
     )
-    out["full_chain_wall_s"] = round(time.time() - t0, 1)
+    out[f"{args.merge_key}_wall_s"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
