@@ -31,6 +31,12 @@ class Evaluator:
     cache_dir: str | None = None  # optional npz spill dir for descriptors
     results_log: str | None = None
     mesh: object | None = None  # jax Mesh -> shard the pair axis over chips
+    # optional DEVICE-resident descriptor store shared across Evaluator
+    # instances: {(scene_name, pc_id): (bb, gf, det)}. Chain-variant
+    # sweeps (baseline / +RD / +RM / +ET share backbone+GF+RD weights)
+    # describe each cloud once instead of once per variant; unlike
+    # cache_dir this never round-trips descriptors through the host.
+    desc_store: dict | None = None
 
     def __post_init__(self):
         from roreg_tpu.utils.profiling import StageTimer
@@ -38,8 +44,8 @@ class Evaluator:
         self.timer = StageTimer()
         # commit the variables tree to the compute device ONCE: host-side
         # (CPU-backend) trees otherwise re-upload on EVERY jit dispatch —
-        # ~67 MB/call through a tunneled TPU, measured as the dominant
-        # cost of the round-3 bench (docs/perf_ground_truth.md)
+        # ~67 MB/call over the device link, measured as the dominant
+        # cost of an early bench round (docs/perf_ground_truth.md)
         if self.mesh is None and self.pipeline.variables:
             dev = jax.devices()[0]
             self.pipeline.variables = jax.device_put(
@@ -48,6 +54,14 @@ class Evaluator:
 
     def describe_cloud(self, ds: ThreeDMatchDataset, pc_id):
         """-> (bb (K,G,32), gf (K,G,32), det (K,)) with optional disk cache."""
+        if self.desc_store is not None:
+            key = (ds.name, str(pc_id))
+            if key not in self.desc_store:
+                self.desc_store[key] = self._describe_uncached(ds, pc_id)
+            return self.desc_store[key]
+        return self._describe_uncached(ds, pc_id)
+
+    def _describe_uncached(self, ds: ThreeDMatchDataset, pc_id):
         cache_fn = None
         if self.cache_dir:
             cache_fn = os.path.join(
@@ -76,95 +90,91 @@ class Evaluator:
 
     def process_scene(self, ds: ThreeDMatchDataset, seed: int = 0) -> dict:
         """Register every pair of a scene, ``cfg.eval_pair_batch`` pairs per
-        batched on-device call (``dist.eval.batched_pair_stage``), sharded
-        over ``self.mesh``'s data axis when one is set.
+        batched on-device call (``dist.eval.pair_batch_from_stacks``),
+        sharded over ``self.mesh``'s data axis when one is set.
 
         This replaces the reference's fork-per-pair multiprocessing Pool
-        (test/estimator.py:257-262) with pair-axis vmap + sharding.
+        (test/estimator.py:257-262) with pair-axis vmap + sharding, and
+        keeps the whole scene's descriptors as device-resident stacks that
+        each batched program gathers from — one dispatch per batch, no
+        host-side per-pair stacking (the bench.py fast path, landed here).
 
         Keypoint sampling semantics match the reference exactly
         (test/matcher.py:174-180): with use_rd the deterministic NMS runs
         once per cloud (identical to per-pair), and WITHOUT RD the random
-        keynum subset is drawn per (pair, side) — the full per-cloud
-        descriptors stay resident on device for the scene in that mode
-        (~77 MB/cloud at 5000 keypoints x 60 rotations).
+        keynum subset is drawn per (pair, side) inside the fused program —
+        the full per-cloud descriptors stay resident on device for the
+        scene in that mode (~77 MB/cloud at 5000 keypoints x 60 rotations).
         """
         cfg = self.pipeline.cfg
-        from roreg_tpu.dist.eval import batched_pair_stage, eval_pairs_sharded
+        from roreg_tpu.dist.eval import (
+            pair_batch_from_stacks,
+            pair_stacks_sharded,
+        )
 
         per_pair = not cfg.use_rd
-        sampled = {}  # use_rd: per-cloud sampled triples
-        full = {}     # no-RD: full per-cloud triples, gathered per pair
+        rows = []      # (bb, gf, kp) per cloud, sampled when use_rd
+        id2row = {}
         for pc_id in ds.pc_ids:
             bb, gf, det = self.describe_cloud(ds, pc_id)
             kp = jnp.asarray(ds.get_kps(pc_id).astype(np.float32))
-            ones = jnp.ones((kp.shape[0],), bool)
-            if per_pair:
-                full[pc_id] = (bb, gf, kp, det)
-            else:
+            if not per_pair:
+                ones = jnp.ones((kp.shape[0],), bool)
                 r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pc_id))
                 s = self.pipeline.sample_keypoints(kp, det, ones, r)
-                sampled[pc_id] = (bb[s], gf[s], kp[s])
-
-        def pair_side_triple(pair, side):
-            """Sampled (bb, gf, kp) for one side of one pair."""
-            pc_id = pair[side]
-            if not per_pair:
-                return sampled[pc_id]
-            bb, gf, kp, det = full[pc_id]
-            # fold the PAIR id into the key: pairs sharing a cloud draw
-            # independent subsets, like the reference's per-pair sample
-            r = jax.random.fold_in(jax.random.PRNGKey(seed), int(pair[0]))
-            r = jax.random.fold_in(r, int(pair[1]))
-            r = jax.random.fold_in(r, side)
-            ones = jnp.ones((kp.shape[0],), bool)
-            s = self.pipeline.sample_keypoints(kp, det, ones, r)
-            return (bb[s], gf[s], kp[s])
+                bb, gf, kp = bb[s], gf[s], kp[s]
+            id2row[pc_id] = len(rows)
+            rows.append((bb, gf, kp))
+        all_bb = jnp.stack([r[0] for r in rows])
+        all_gf = jnp.stack([r[1] for r in rows])
+        all_kp = jnp.stack([r[2] for r in rows])
+        base_key = jax.random.PRNGKey(seed)
 
         pair_ids = list(ds.pair_ids)
         nb = max(1, cfg.eval_pair_batch)
         if self.mesh is not None:
             nb = max(nb // self.mesh.size * self.mesh.size, self.mesh.size)
-        results = {"pairs": [], "transforms": [], "fmr": [], "ir": [],
-                   "rr": [], "rre": [], "rte": [], "overlaps": []}
+
+        # dispatch every batch before fetching any: batches queue on the
+        # device while the host walks the loop
+        dispatched = []
         for b0 in range(0, len(pair_ids), nb):
             batch = pair_ids[b0 : b0 + nb]
-            pad = nb - len(batch)
-            batch_p = batch + [batch[-1]] * pad  # duplicate-pad, drop later
-            rngs = jnp.stack([
-                jax.random.PRNGKey(seed * 100003 + b0 + k)
-                for k in range(len(batch_p))
-            ])
-            triples = [
-                (pair_side_triple(p, 0), pair_side_triple(p, 1))
-                for p in batch_p
-            ]
-            stk = lambda i, side: jnp.stack(
-                [t[side][i] for t in triples]
+            batch_p = batch + [batch[-1]] * (nb - len(batch))  # dup-pad
+            rngs = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(seed * 100003 + b0, seed * 100003 + b0 + nb)
             )
-            args = (rngs, stk(0, 0), stk(0, 1), stk(1, 0), stk(1, 1),
-                    stk(2, 0), stk(2, 1))
+            p0 = jnp.asarray([int(p[0]) for p in batch_p], jnp.int32)
+            p1 = jnp.asarray([int(p[1]) for p in batch_p], jnp.int32)
+            i0 = jnp.asarray([id2row[p[0]] for p in batch_p], jnp.int32)
+            i1 = jnp.asarray([id2row[p[1]] for p in batch_p], jnp.int32)
+            args = (base_key, rngs, p0, p1, i0, i1, all_bb, all_gf, all_kp)
             if self.mesh is not None:
-                out = eval_pairs_sharded(
-                    self.mesh, self.pipeline.variables, cfg, *args
+                out = pair_stacks_sharded(
+                    self.mesh, self.pipeline.variables, cfg, *args,
+                    per_pair_sample=per_pair,
                 )
             else:
-                out = batched_pair_stage(self.pipeline.variables, cfg, *args)
+                out = pair_batch_from_stacks(
+                    self.pipeline.variables, cfg, *args,
+                    per_pair_sample=per_pair,
+                )
+            dispatched.append((batch, out))
+
+        results = {"pairs": [], "transforms": [], "fmr": [], "ir": [],
+                   "rr": [], "rre": [], "rte": [], "overlaps": []}
+        for batch, out in dispatched:
             self.timer.block("match_estimate", out["transform"])
             Ts = np.asarray(out["transform"])
             ovs = np.asarray(out["overlap"])
-            m0 = np.asarray(out["m0"])
-            m1 = np.asarray(out["m1"])
+            km0 = np.asarray(out["keys_m0"])
+            km1 = np.asarray(out["keys_m1"])
             ev = np.asarray(out["est_valid"])
-            k0_s = np.asarray(args[5])
-            k1_s = np.asarray(args[6])
             for k, (id0, id1) in enumerate(batch):
                 T_np = Ts[k]
                 T_gt = ds.get_transform(id0, id1)
-                keys_m0 = k0_s[k][m0[k]]
-                keys_m1 = k1_s[k][m1[k]]
                 fmr, ir = fmr_ir(
-                    keys_m0, keys_m1, ev[k], T_gt, cfg.tau_1, cfg.tau_2,
+                    km0[k], km1[k], ev[k], T_gt, cfg.tau_1, cfg.tau_2,
                 )
                 rre, rte = registration_errors(T_np, T_gt)
                 ok = float(rre < cfg.rr_rot_deg and rte < cfg.rr_trans)
