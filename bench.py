@@ -146,7 +146,7 @@ def main():
     pairs = [(i, j) for i in range(n_clouds) for j in range(i + 1, n_clouds)]
 
     # commit variables to the device ONCE (untimed): the 67 MB tree
-    # otherwise re-uploads through the tunnel on EVERY jit dispatch —
+    # otherwise re-uploads over the device link on EVERY jit dispatch —
     # measured as the dominant cost of the round-3 bench
     pipe.variables = jax.device_put(pipe.variables, jax.devices()[0])
     jax.block_until_ready(pipe.variables)
@@ -241,13 +241,13 @@ def main():
     all_bb = jnp.stack([d[0] for d in descs])
     all_gf = jnp.stack([d[1] for d in descs])
     all_kp = jnp.stack([d[2] for d in descs])
-    # tiny scalar fetch: block_until_ready over the tunnel can return
+    # tiny scalar fetch: block_until_ready over a remote device link can return
     # before device work finishes; a host readback cannot
     float(all_gf.ravel()[0])
     t_desc = time.perf_counter() - t0
     log(f"describe complete at +{t_desc:.1f}s")
     Ts = run_pairs(all_bb, all_gf, all_kp, timed_prepped, len(pairs))
-    np.asarray(Ts)  # force through the tunnel (block_until_ready lies)
+    np.asarray(Ts)  # force a host readback (block_until_ready can lie remotely)
     elapsed = time.perf_counter() - t0
     log(f"describe {t_desc:.1f}s total, pair stages {elapsed - t_desc:.1f}s "
         f"({(elapsed - t_desc) / len(pairs):.2f}s/pair)")

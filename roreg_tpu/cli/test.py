@@ -29,15 +29,38 @@ def get_parser():
     p.add_argument("--ET", default="yohoo", choices=["yohoo", "yohoc"])
     p.add_argument("--keynum", type=int, default=1000)
     p.add_argument("--max_iter", type=int, default=1000)
-    p.add_argument("--ransac_d", type=float, default=0.1)
+    # None = "apply the per-testset preset" (reference Test.py:7-17,
+    # README.md:141-177: ETH / WHU-TLS run at voxel 0.15, ransac inlier
+    # distance 0.5, tau_2 0.2, tau_3 0.5); explicit flags always win
+    p.add_argument("--ransac_d", type=float, default=None)
     p.add_argument("--tau_1", type=float, default=0.05)
-    p.add_argument("--tau_2", type=float, default=0.1)
-    p.add_argument("--tau_3", type=float, default=0.2)
-    p.add_argument("--voxel_size", type=float, default=0.025)
+    p.add_argument("--tau_2", type=float, default=None)
+    p.add_argument("--tau_3", type=float, default=None)
+    p.add_argument("--voxel_size", type=float, default=None)
     p.add_argument("--group_size", type=int, default=60)
     p.add_argument("--random_init", action="store_true",
                    help="random weights (pipeline smoke/perf runs)")
     return p
+
+
+# per-testset evaluation presets (reference Test.py:7-17, README.md:141-177);
+# 3DMatch-family defaults fill whatever the preset leaves unset
+_TESTSET_PRESETS = {
+    "ETH": dict(voxel_size=0.15, ransac_d=0.5, tau_2=0.2, tau_3=0.5),
+    "WHU-TLS": dict(voxel_size=0.15, ransac_d=0.5, tau_2=0.2, tau_3=0.5),
+}
+_GLOBAL_DEFAULTS = dict(voxel_size=0.025, ransac_d=0.1, tau_2=0.1, tau_3=0.2)
+
+
+def apply_testset_presets(args):
+    """Fill unset (None) eval flags from the testset's preset, then the
+    3DMatch-family defaults. ``--testset ETH`` with no extra flags now
+    reproduces the reference's documented ETH configuration."""
+    preset = _TESTSET_PRESETS.get(args.testset, {})
+    for k, v in _GLOBAL_DEFAULTS.items():
+        if getattr(args, k) is None:
+            setattr(args, k, preset.get(k, v))
+    return args
 
 
 def load_pipeline(args):
@@ -69,7 +92,7 @@ def load_pipeline(args):
 
 
 def main(argv=None):
-    args = get_parser().parse_args(argv)
+    args = apply_testset_presets(get_parser().parse_args(argv))
     from roreg_tpu.data.dataset import get_dataset_group
     from roreg_tpu.eval.evaluator import Evaluator
 

@@ -144,8 +144,11 @@ def synchronize_robust(
     Re-solving with Cauchy-downweighted residuals
     ``w <- w0 / (1 + (theta/sigma_r)^2 + (|dt|/sigma_t)^2)`` recovers
     the consistent majority after 2-3 rounds.
+
+    ``sigma_trans`` is in scene metric units — callers working at a
+    different scale should pass a value ~10% of the typical edge
+    translation (``sync_scene`` derives one automatically).
     """
-    i, j = edges[:, 0], edges[:, 1]
     R = Ts[:, :3, :3]
     t = Ts[:, :3, 3]
     w0 = jnp.clip(weights, 1e-6)
@@ -188,18 +191,27 @@ def sync_scene(
     pairs: list[tuple[int, int]],
     transforms: list[np.ndarray],
     overlaps: list[float] | np.ndarray,
+    sigma_rot_deg: float = 10.0,
+    sigma_trans: float | None = None,
 ) -> list[np.ndarray]:
     """Host-friendly wrapper: scene pair list -> refined transforms.
 
     Node ids are remapped densely; unweighted isolated fragments keep
-    their raw estimates."""
+    their raw estimates. ``sigma_trans`` (the IRLS translation-residual
+    scale, in scene units) defaults to 15% of the median edge
+    translation, floored at 0.15 m — scenes at other metric scales get a
+    proportionate threshold instead of an absolute-meters constant."""
     ids = sorted({i for p in pairs for i in p})
     remap = {v: k for k, v in enumerate(ids)}
     edges = np.asarray([[remap[a], remap[b]] for a, b in pairs], np.int32)
     Ts = np.stack(transforms).astype(np.float32)
     w = np.asarray(overlaps, np.float32)
+    if sigma_trans is None:
+        tnorm = np.linalg.norm(Ts[:, :3, 3], axis=-1)
+        sigma_trans = float(max(0.15, 0.15 * np.median(tnorm)))
     P = synchronize_robust(
-        jnp.asarray(edges), jnp.asarray(Ts), jnp.asarray(w), len(ids)
+        jnp.asarray(edges), jnp.asarray(Ts), jnp.asarray(w), len(ids),
+        sigma_rot_deg=sigma_rot_deg, sigma_trans=sigma_trans,
     )
     T2 = np.asarray(refined_pairwise(P, jnp.asarray(edges)))
     return [T2[k] for k in range(len(pairs))]

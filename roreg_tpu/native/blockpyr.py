@@ -131,7 +131,7 @@ def alloc_block_buffers_packed(
 
     Filling the tree fills the payload; shipping the single payload array
     to the device replaces ~17 per-leaf host->device puts (each with ~4 ms
-    tunnel overhead) with one. Unpack on device with
+    per-transfer dispatch overhead) with one. Unpack on device with
     :func:`roreg_tpu.sparse.block.unpack_block_payload` (same spec).
     """
     spec, total = payload_spec(block_caps, batch, num_levels)

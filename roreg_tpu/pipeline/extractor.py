@@ -275,8 +275,8 @@ def _backbone_chunk_blocks(
     BlockResUNet per rotation, read keypoint features at the host-resolved
     flat cell rows. key_rows (chunk, K) int32 -> (chunk, K, 32).
 
-    Chunk-sized programs (group_chunk rotations per dispatch) are the
-    remote compiler's sweet spot: a lax.map over all 60 rotations in one
+    Chunk-sized programs (group_chunk rotations per dispatch) are XLA's
+    sweet spot for this network: a lax.map over all 60 rotations in one
     program was measured to compile pathologically (>45 min vs ~8 min
     for the chunk program). The extractor feeds this from DEVICE-side
     slices of one whole-cloud payload, so chunking costs no extra
@@ -361,12 +361,12 @@ def _backbone_chunk_blocks_rows(
 ) -> jnp.ndarray:
     """Chunk program over a whole-cloud payload stored as CHUNK ROWS:
     ``payload_rows`` (n_chunks, chunk_bytes) packs all rotations' block
-    pyramids (ONE host->device put per cloud — dispatch-latency resilience
-    on tunneled TPUs); ``ci`` is the TRACED chunk index, so one compiled
-    program serves every chunk. The program first dynamic-indexes its row,
-    then unpacks exactly like the per-chunk payload program — the
-    batch=60 whole-cloud unpack variant was measured to compile
-    pathologically on the remote compiler (>20 min vs ~7)."""
+    pyramids (ONE host->device put per cloud — resilient to
+    high-dispatch-latency device links); ``ci`` is the TRACED chunk
+    index, so one compiled program serves every chunk. The program first
+    dynamic-indexes its row, then unpacks exactly like the per-chunk
+    payload program — the batch=60 whole-cloud unpack variant was
+    measured to compile pathologically (>20 min vs ~7)."""
     from roreg_tpu.sparse.block import BlockResUNet, unpack_block_payload
 
     net = BlockResUNet(

@@ -235,9 +235,10 @@ def describe_tail(
 ):
     """Backbone group feats -> (bb_s, gf_s, kp_s) sampled triples as ONE
     program: GF descriptor, RD saliency, NMS/random keypoint sampling and
-    the three gathers fused. On tunneled TPUs every eager stage boundary
-    is a dispatch round trip (measured up to ~1.7 s under a degraded
-    tunnel), so the per-cloud tail collapses ~6 dispatches into 1."""
+    the three gathers fused. Over a high-latency device link every eager
+    stage boundary is a dispatch round trip (measured up to ~1.7 s on a
+    degraded link), so the per-cloud tail collapses ~6 dispatches into
+    1."""
     gf = gf_apply(variables["gf"], bb, cfg)
     ones = jnp.ones(keypoints.shape[0], bool)
     if cfg.use_rd:
@@ -260,8 +261,9 @@ def register_pair_from_descriptors(
     """One jit from full per-cloud descriptors to the transform: keypoint
     sampling (NMS or random), feature gathers, matching, estimation.
 
-    Keeping this a single compiled program matters doubly on tunneled TPUs:
-    every eager indexing op between stages is a host round trip.
+    Keeping this a single compiled program matters doubly when the device
+    link has high dispatch latency: every eager indexing op between
+    stages is a host round trip.
     det* may be None when cfg.use_rd is False.
     """
     from roreg_tpu.pipeline.matcher import nms_sample
@@ -318,7 +320,7 @@ class RegistrationPipeline:
         backbone = make_backbone(cfg)
 
         # init under jit: eager init dispatches hundreds of tiny ops, which
-        # is pathological over a tunneled TPU
+        # is pathological over a high-latency device link
         import numpy as np
 
         rng_np = np.random.default_rng(0)

@@ -32,6 +32,9 @@ from roreg_tpu.sparse.voxelize import SENTINEL, VoxelGrid, pack_keys, voxelize
 
 __all__ = [
     "hypercube_offsets",
+    "hypercross_offsets",
+    "kernel_offsets",
+    "neighbor_table",
     "lookup",
     "pack_occupancy",
     "occupancy_words",
@@ -67,6 +70,47 @@ def hypercube_offsets(kernel_size: int) -> np.ndarray:
     return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.int32)
 
 
+def hypercross_offsets(kernel_size: int) -> np.ndarray:
+    """ME 'hypercross' kernel region (region_type=1,
+    src/kernel_region.hpp): the origin plus up-to-±(kernel_size//2) steps
+    along each axis independently — ``1 + 3 * (kernel_size - 1)`` offsets
+    in 3-D instead of ``kernel_size**3``. Deterministic order: origin
+    first, then per axis (x, y, z) the radii 1..kernel_size//2, minus
+    before plus."""
+    if kernel_size % 2 != 1 or kernel_size < 3:
+        raise ValueError("hypercross needs an odd kernel_size >= 3")
+    offs = [np.zeros(3, np.int32)]
+    for axis in range(3):
+        for r in range(1, kernel_size // 2 + 1):
+            for sign in (-1, 1):
+                o = np.zeros(3, np.int32)
+                o[axis] = sign * r
+                offs.append(o)
+    return np.stack(offs).astype(np.int32)
+
+
+def kernel_offsets(
+    kernel_size: int,
+    region_type: str = "hypercube",
+    custom_offsets: np.ndarray | None = None,
+) -> np.ndarray:
+    """Kernel-region dispatch mirroring ME's region types
+    (src/kernel_region.hpp): ``hypercube`` (0), ``hypercross`` (1) or
+    ``custom`` (2, caller-supplied (K, 3) int offsets)."""
+    if region_type == "hypercube":
+        return hypercube_offsets(kernel_size)
+    if region_type == "hypercross":
+        return hypercross_offsets(kernel_size)
+    if region_type == "custom":
+        if custom_offsets is None:
+            raise ValueError("custom region requires custom_offsets")
+        off = np.asarray(custom_offsets, np.int32)
+        if off.ndim != 2 or off.shape[1] != 3:
+            raise ValueError("custom_offsets must be (K, 3)")
+        return off
+    raise ValueError(f"unknown region_type {region_type!r}")
+
+
 def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
     """Binary-search each query key in sorted keys; -1 where absent."""
     idx = jnp.searchsorted(sorted_keys, query_keys)
@@ -87,6 +131,21 @@ def _neighbor_table(
     ok = jnp.all((q >= 0) & (q < 1024), axis=-1) & dst_mask[:, None]
     qk = jnp.where(ok, pack_keys(q), SENTINEL)
     return lookup(src_keys, qk)
+
+
+def neighbor_table(
+    level: "SparseLevel",
+    offsets: np.ndarray | jnp.ndarray,
+    step: int = 1,
+) -> jnp.ndarray:
+    """Public same-level gather-table builder for an arbitrary kernel
+    region: (C, K) source rows of ``coord + offset * step``, -1 for
+    misses. Feed the result straight to ``sparse.conv.gather_conv`` —
+    this is how hypercross/custom-region convolutions run (the FCGF
+    pipeline itself only uses hypercube regions)."""
+    return _neighbor_table(
+        level.keys, level.coords, level.mask, jnp.asarray(offsets), step
+    )
 
 
 class SparseLevel(NamedTuple):

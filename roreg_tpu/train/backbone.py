@@ -115,7 +115,7 @@ def make_backbone_train_step(cfg: PipelineConfig, lr: float = 1e-1,
         return loss, (m1["batch_stats"], aux)
 
     def init_fn(key, batch):
-        # init on the CPU backend: eager init over a tunneled TPU dispatches
+        # init on the CPU backend: eager init over a remote accelerator dispatches
         # hundreds of tiny ops (minutes); params move to device on first use
         from roreg_tpu.train.trainer import cpu_init_scope
 

@@ -39,7 +39,7 @@ __all__ = [
 def cpu_init_scope():
     """Context manager pinning computation to the CPU backend — used for
     network/optimizer initialization, which is shape bookkeeping that would
-    otherwise dispatch eagerly over a (possibly tunneled) accelerator."""
+    otherwise dispatch eagerly over a (possibly remote) accelerator."""
     import contextlib
 
     try:

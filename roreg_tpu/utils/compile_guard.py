@@ -1,11 +1,10 @@
 """Compile-cache contract: fail fast-and-loud instead of silently stalling.
 
-A cold full-network compile of the block-engine describe program costs
-~15-25 minutes on this class of host (all XLA compiles happen
-terminal-side under the axon tunnel). The persistent ``.jax_cache`` makes
-warm runs cheap, but any drift in the fields that shape the traced HLO
-(block capacities, rotation chunking, backbone variant, payload layout)
-silently reintroduces the stall.
+A cold full-network compile of the block-engine describe program is
+expensive (tens of minutes on a small CPU host). The persistent
+``.jax_cache`` makes warm runs cheap, but any drift in the fields that
+shape the traced HLO (block capacities, rotation chunking, backbone
+variant, payload layout) silently reintroduces the stall.
 
 This module keeps a tiny manifest of describe-program signatures known to
 be present in the persistent cache. Entry points (bench.py,

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--group_size", type=int, default=60)
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
     ap.add_argument("--ckdir", default=os.path.join(REPO, "checkpoints_quality"))
+    ap.add_argument("--full", action="store_true",
+                    help="evaluate under quality_full_config (use with a "
+                         "--ckdir trained at full size; the config tag is "
+                         "checked either way)")
     ap.add_argument("--merge_key", default="full_chain",
                     help="QUALITY.json key to write the result under")
     args = ap.parse_args()
@@ -52,21 +56,48 @@ def main():
     # with validate_quality.py / resume_full_chain.py so it can never
     # silently desynchronize (round-3 advisor finding)
     from roreg_tpu.pipeline.quality_config import (
+        quality_full_config,
         quality_scene_params,
         quality_small_config,
     )
 
-    cfg = quality_small_config(args.group_size)
-    ppc, extent = quality_scene_params(small=True)
+    cfg = (quality_full_config if args.full else quality_small_config)(
+        args.group_size
+    )
+    ppc, extent = quality_scene_params(small=not args.full)
 
-    # same rng stream as validate_quality.main: 3 train scenes then test
+    # parameter shapes don't depend on voxel_size/capacities, so restoring
+    # a full-size-trained checkpoint under the small config would succeed
+    # silently and produce skewed numbers (round-4 advisor finding) —
+    # check the tag validate_quality.py saves alongside the weights
+    tag_fn = os.path.join(args.ckdir, "config_tag.json")
+    if os.path.exists(tag_fn):
+        with open(tag_fn) as f:
+            tag = json.load(f)
+        if tag.get("voxel_size") != cfg.voxel_size or (
+            tag.get("group_size") != cfg.group_size
+        ):
+            raise SystemExit(
+                f"checkpoint config tag {tag} does not match the evaluation "
+                f"config (voxel {cfg.voxel_size}, group {cfg.group_size}) — "
+                "pass --full / --group_size to match the training run"
+            )
+
+    # same rng stream as validate_quality.main: N train scenes then test.
+    # The scene-stream knobs ride in the config tag; default to the
+    # historical 3 hi-overlap x 3-cloud layout when no tag exists.
+    n_scenes = tag.get("n_scenes", 3) if os.path.exists(tag_fn) else 3
+    n_lo = tag.get("n_lo_scenes", 0) if os.path.exists(tag_fn) else 0
+    clouds = tag.get("clouds", 3) if os.path.exists(tag_fn) else 3
+    lo_overlap = tag.get("lo_overlap", 0.5) if os.path.exists(tag_fn) else 0.5
     rng = np.random.default_rng(0)
     root = os.path.join(REPO, "data", "quality_scenes")
-    for i in range(3):
+    for i in range(n_scenes + n_lo):
         make_synthetic_scene(
-            os.path.join(root, f"scene{i}"), rng, num_clouds=3,
+            os.path.join(root, f"scene{i}"), rng, num_clouds=clouds,
             points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
-            overlap=0.8, max_angle_deg=50.0, surface_extent=extent,
+            overlap=0.8 if i < n_scenes else lo_overlap,
+            max_angle_deg=50.0, surface_extent=extent,
         )
     test_scene = make_synthetic_scene(
         os.path.join(root, "test"), rng, num_clouds=2,

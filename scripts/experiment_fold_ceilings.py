@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N = 20
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
@@ -113,13 +119,24 @@ def main():
             float(r)
             print(f"{name}: compile+run {time.perf_counter() - t0:.1f}s",
                   flush=True)
+            # measure the fixed dispatch+readback overhead of this exact
+            # call pattern (jit dispatch + scalar fetch through the
+            # tunnel) with a trivial program, instead of assuming it
+            tiny = jax.jit(lambda c0: c0 + 1.0)
+            float(tiny(jnp.float32(0.0)))  # compile
+            overhead = min(
+                _timed(lambda: float(tiny(jnp.float32(0.0))))
+                for _ in range(5)
+            )
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 r = scan(jnp.float32(0.0))
                 float(r)
                 ts.append(time.perf_counter() - t0)
-            ms = (min(ts) - 0.024) / N * 1e3
+            ms = (min(ts) - overhead) / N * 1e3
+            print(f"{name}: dispatch overhead {overhead * 1e3:.1f} ms "
+                  "(measured, subtracted)", flush=True)
             print(f"{name}: {ms:.2f} ms/rotation (in-jit scan x{N})",
                   flush=True)
             return ms

@@ -1,6 +1,8 @@
 """Data layer (PLY, 3DMatch directory format, synthetic scenes) and the
 RR benchmark protocol."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -201,3 +203,73 @@ def test_draw_registration(tmp_path, rng):
     import os
 
     assert os.path.getsize(out) > 10000
+
+
+# --------------------------------------------------------------------------
+# parity on REFERENCE-AUTHORED files: the reference bundles a real kitchen
+# scene's gt.log + Keypoints txt (data/origin_data/demo/kitchen); parsing
+# them through ThreeDMatchDataset pins the format conventions (tab/space
+# separators, transform direction, 0-based keypoint indices —
+# dataops/dataset.py:60-130) against files this repo did NOT write.
+# The plys are stripped from the reference checkout, so deterministic
+# stand-in clouds are synthesized for them.
+# --------------------------------------------------------------------------
+
+_REF_DEMO = "/root/reference/data/origin_data/demo/kitchen"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(_REF_DEMO, "PointCloud", "gt.log")),
+    reason="reference demo files not present",
+)
+def test_reference_demo_files_parse(tmp_path):
+    import shutil
+
+    from roreg_tpu.data.ply import write_ply
+
+    root = str(tmp_path / "kitchen")
+    os.makedirs(os.path.join(root, "PointCloud"))
+    shutil.copy(
+        os.path.join(_REF_DEMO, "PointCloud", "gt.log"),
+        os.path.join(root, "PointCloud", "gt.log"),
+    )
+    shutil.copytree(
+        os.path.join(_REF_DEMO, "Keypoints"), os.path.join(root, "Keypoints")
+    )
+    # stand-in clouds: point i = (i, 2i, 3i) * 1e-5 so pc[idx] is checkable
+    idxs = {}
+    for k in range(2):
+        idx = np.loadtxt(
+            os.path.join(root, "Keypoints", f"cloud_bin_{k}Keypoints.txt")
+        ).astype(np.int64)
+        idxs[k] = idx
+        n = int(idx.max()) + 1
+        pts = (np.arange(n, dtype=np.float64)[:, None]
+               * np.array([1.0, 2.0, 3.0]) * 1e-5).astype(np.float32)
+        write_ply(os.path.join(root, "PointCloud", f"cloud_bin_{k}.ply"), pts)
+
+    ds = ThreeDMatchDataset(root, 2)
+
+    # pair ids + transform: hand-checked against the raw gt.log text
+    # ("0\t 1\t 60" header, then 4 tab-separated rows)
+    assert ds.pair_ids == [("0", "1")]
+    T = ds.get_transform("0", "1")
+    expected = np.array([
+        [0.141, 0.989, 0.034, -2.247],
+        [-0.903, 0.114, 0.414, -1.131],
+        [0.405, -0.089, 0.910, 0.673],
+        [0.000, 0.000, 0.000, 1.000],
+    ])
+    np.testing.assert_allclose(T, expected, atol=1e-12)
+
+    # keypoint indices: first five of cloud 0 hand-checked from the txt
+    np.testing.assert_array_equal(
+        idxs[0][:5], [55310, 223930, 94754, 240603, 32459]
+    )
+    for k in range(2):
+        kps = ds.get_kps(k)
+        assert kps.shape == (5000, 3)
+        # keys must be pc[idx] in file order (dataset.get_kps:109-117)
+        np.testing.assert_allclose(
+            kps[:, 0], idxs[k].astype(np.float32) * 1e-5, atol=1e-6
+        )

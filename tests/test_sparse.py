@@ -372,3 +372,78 @@ def test_conv_up_parity_classes_match_naive(rng):
     want = (im @ np.asarray(w).reshape(27 * ci, co)).reshape(bf, 64, co)
     want = np.where(np.asarray(mask)[..., None], want, 0.0)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_hypercross_offsets_shape_and_content():
+    """region_type=1 (src/kernel_region.hpp): origin + axis-aligned arms."""
+    from roreg_tpu.sparse.kernel_map import hypercross_offsets, kernel_offsets
+
+    off = hypercross_offsets(3)
+    assert off.shape == (7, 3)
+    assert (off == 0).all(axis=1).sum() == 1  # one origin
+    # every non-origin offset lies on exactly one axis
+    nz = (off != 0).sum(axis=1)
+    assert set(nz.tolist()) == {0, 1}
+    off5 = hypercross_offsets(5)
+    assert off5.shape == (13, 3)
+    assert np.abs(off5).max() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hypercross_offsets(4)
+    # dispatch + custom regions
+    assert kernel_offsets(3, "hypercube").shape == (27, 3)
+    assert kernel_offsets(3, "hypercross").shape == (7, 3)
+    custom = np.array([[0, 0, 0], [2, 0, 1]], np.int32)
+    np.testing.assert_array_equal(
+        kernel_offsets(3, "custom", custom), custom
+    )
+    with _pytest.raises(ValueError):
+        kernel_offsets(3, "custom")
+    with _pytest.raises(ValueError):
+        kernel_offsets(3, "nope")
+
+
+def test_hypercross_conv_matches_dense_oracle(rng):
+    """A hypercross-region sparse conv == dense conv with a cross-masked
+    kernel, on a dense-filled grid (the same oracle recipe as the
+    hypercube kernel-map test)."""
+    from roreg_tpu.sparse.kernel_map import (
+        hypercross_offsets,
+        neighbor_table,
+    )
+
+    # dense 5x5x5 voxel block => every cross neighbor inside the interior
+    # exists; misses only at the boundary
+    coords = hypercube_offsets(5) + 2  # coords in [0, 4]^3
+    pts = (coords.astype(np.float32) + 0.5) * 0.1
+    pyr = build_pyramid(
+        jnp.asarray(pts), jnp.asarray(np.ones(len(pts), bool)), 0.1,
+        (256, 128, 64, 32), conv1_kernel_size=3,
+    )
+    lvl = pyr.levels[0]
+    off = hypercross_offsets(3)
+    nbr = np.asarray(neighbor_table(lvl, off, 1))
+
+    cin, cout = 4, 6
+    feats = rng.normal(size=(256, cin)).astype(np.float32)
+    w = rng.normal(size=(len(off), cin, cout)).astype(np.float32) * 0.1
+    out = np.asarray(
+        gather_conv(jnp.asarray(feats), jnp.asarray(nbr), jnp.asarray(w))
+    )
+
+    # oracle: walk the cross taps in coordinate space
+    cmap = {tuple(c): i for i, c in enumerate(np.asarray(lvl.coords)
+                                              [np.asarray(lvl.mask)])}
+    n_valid = int(lvl.num)
+    assert n_valid == 125
+    lc = np.asarray(lvl.coords)
+    for i in range(n_valid):
+        ref = np.zeros(cout, np.float32)
+        for k, d in enumerate(off):
+            j = cmap.get(tuple(lc[i] + d), -1)
+            assert nbr[i, k] == j  # table parity with the coord-space walk
+            if j >= 0:
+                ref += feats[j] @ w[k]
+        assert np.abs(out[i] - ref).max() < 1e-3
