@@ -515,8 +515,8 @@ def extract_group_features_blocks(
     device queue stays full while the host builds the next cloud —
     describe wall time ~= device compute time even on a contended 2-core
     host. Compute stays in chunk-sized programs: one lax.map over all 60
-    rotations was measured to compile pathologically on the remote
-    compiler (>45 min vs ~8 min for the chunk program).
+    rotations was measured to compile pathologically (>45 min vs ~8 min
+    for the chunk program).
     """
     bufs, kbs, caps = build_cloud_payloads(points, keypoints, cfg)
     return dispatch_cloud_payloads(backbone_variables, bufs, kbs, caps, cfg)

@@ -52,6 +52,10 @@ def describe_signature(cfg, extra: dict | None = None) -> str:
         "num_keypoints": cfg.num_keypoints,
         "host_maps": cfg.host_maps,
     }
+    if cfg.rot_vmap > 1:
+        # omitted at the default (1) so historical manifest entries for
+        # the unbatched program keep their signatures
+        payload["rot_vmap"] = cfg.rot_vmap
     if extra:
         payload.update(extra)
     blob = json.dumps(payload, sort_keys=True).encode()

@@ -32,13 +32,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+VARIANTS = {
+    # the reference's Appendix Table 2 ablation structure: each added
+    # component (+RD, +RM, +ET one-shot) should lift RR over the previous
+    "mutual_yohoc": dict(use_rd=False, use_rm=False, estimator="yohoc"),
+    "rd_yohoc": dict(use_rd=True, use_rm=False, estimator="yohoc"),
+    "rd_rm_yohoc": dict(use_rd=True, use_rm=True, estimator="yohoc"),
+    "full_rd_rm_et_yohoo": dict(use_rd=True, use_rm=True, estimator="yohoo"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--group_size", type=int, default=60)
     ap.add_argument("--keynums", default="1024,500,250")
-    ap.add_argument("--scenes", type=int, default=3)
-    ap.add_argument("--clouds", type=int, default=4)
+    ap.add_argument("--scenes", type=int, default=4,
+                    help="scenes PER SPLIT (hi + lo overlap)")
+    ap.add_argument("--clouds", type=int, default=7,
+                    help="clouds per scene (all-pairs: 7 clouds = 21 "
+                         "pairs/scene -> 168 held-out pairs at defaults)")
     ap.add_argument("--lo_overlap", type=float, default=0.45)
+    ap.add_argument("--variants", default="all",
+                    help="comma list of chain variants, or 'all' / 'full'")
+    ap.add_argument("--ckdir",
+                    default=os.path.join(REPO, "checkpoints_quality"))
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: CPU backend)")
@@ -84,7 +101,7 @@ def main():
         )
         ds.name = f"scene{i}"
         hi[ds.name] = ds
-    for i in range(max(1, args.scenes - 1)):
+    for i in range(args.scenes):
         ds = make_synthetic_scene(
             os.path.join(root, f"lo_scene{i}"), rng, num_clouds=args.clouds,
             points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
@@ -101,35 +118,51 @@ def main():
     # ---- trained weights ----
     pipe = RegistrationPipeline(cfg, {})
     templates = pipe.init_variables(jax.random.PRNGKey(0))
-    variables = load_pipeline_variables(
-        os.path.join(REPO, "checkpoints_quality"), templates
-    )
+    variables = load_pipeline_variables(args.ckdir, templates)
     missing = [c for c in ("backbone", "gf", "rd", "rm", "et")
                if c not in variables]
     if missing:
         raise SystemExit(f"missing checkpoints: {missing}")
-    log("checkpoints restored (all 5 components)")
+    log(f"checkpoints restored (all 5 components, {args.ckdir})")
+
+    if args.variants == "all":
+        variants = dict(VARIANTS)
+    elif args.variants == "full":
+        variants = {"full_rd_rm_et_yohoo": VARIANTS["full_rd_rm_et_yohoo"]}
+    else:
+        variants = {v: VARIANTS[v] for v in args.variants.split(",")}
 
     out_dir = os.path.join(REPO, "data", "quality_bench_out")
     results = {"splits": {}}
     keynums = [int(k) for k in args.keynums.split(",")]
+    # device-resident descriptor store shared across every variant and
+    # keynum (describe is sampling-independent): each cloud is described
+    # exactly once for the whole sweep
+    desc_store = {}
 
-    for keynum in keynums:
-        for split, group in (("3dmatch_analog", hi), ("3dlomatch_analog", lo)):
-            cfg_k = dataclasses.replace(cfg, keynum=keynum)
-            p = RegistrationPipeline(cfg_k, variables)
-            ev = Evaluator(
-                p, cache_dir=os.path.join(out_dir, "desc_cache"),
-                results_log=os.path.join(out_dir, "results.log"),
-            )
-            datasets = dict(group)
-            datasets["wholesetname"] = split
-            summary = ev.run(datasets, out_dir, seed=keynum)
-            summary.pop("stage_times", None)
-            results["splits"][f"{split}@{keynum}"] = summary
-            log(f"{split}@{keynum}: FMR {summary['fmr']:.3f} "
-                f"IR {summary['ir']:.3f} RR {summary['rr_pointdsc']:.3f} "
-                f"RR_pred {summary['rr_predator']}")
+    for vname, vflags in variants.items():
+        vres = {}
+        for keynum in keynums:
+            for split, group in (
+                ("3dmatch_analog", hi), ("3dlomatch_analog", lo)
+            ):
+                cfg_k = dataclasses.replace(cfg, keynum=keynum, **vflags)
+                p = RegistrationPipeline(cfg_k, variables)
+                ev = Evaluator(
+                    p,
+                    results_log=os.path.join(out_dir, "results.log"),
+                    desc_store=desc_store,
+                )
+                datasets = dict(group)
+                datasets["wholesetname"] = split
+                summary = ev.run(datasets, out_dir, seed=keynum)
+                summary.pop("stage_times", None)
+                vres[f"{split}@{keynum}"] = summary
+                log(f"{vname} {split}@{keynum}: FMR {summary['fmr']:.3f} "
+                    f"IR {summary['ir']:.3f} RR {summary['rr_pointdsc']:.3f} "
+                    f"RR_pred {summary['rr_predator']} "
+                    f"({summary['pairs_per_sec']:.2f} pairs/s)")
+        results["splits"][vname] = vres
 
     # ---- pose-sync probe on a >=3-pair scene (validate_quality's probe) ----
     import importlib.util
@@ -145,10 +178,14 @@ def main():
     results["wall_s"] = round(time.time() - t0, 1)
     results["config"] = {
         "group_size": args.group_size, "keynums": keynums,
-        "scenes": args.scenes, "clouds": args.clouds,
+        "scenes_per_split": args.scenes, "clouds": args.clouds,
+        "pairs_per_split": n_hi,
         "lo_overlap": args.lo_overlap,
+        "variants": list(variants),
+        "ckdir": os.path.basename(args.ckdir),
         "note": "held-out synthetic protocol benchmark via Evaluator.run "
-                "(scripts/quality_benchmark.py); full RD+RM+ET yohoo chain",
+                "(scripts/quality_benchmark.py); chain-variant ablation "
+                "(Appendix Table 2 structure)",
     }
 
     try:

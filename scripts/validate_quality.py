@@ -33,6 +33,20 @@ def main():
     ap.add_argument("--steps_et", type=int, default=400)
     ap.add_argument("--steps_rd", type=int, default=300)
     ap.add_argument("--group_size", type=int, default=60)
+    ap.add_argument("--n_scenes", type=int, default=3,
+                    help="high-overlap training scenes")
+    ap.add_argument("--n_lo_scenes", type=int, default=0,
+                    help="additional low-overlap training scenes (the eval "
+                         "protocol's 3DLoMatch-analog split is a distribution "
+                         "shift unless some are present)")
+    ap.add_argument("--clouds", type=int, default=3,
+                    help="clouds per training scene")
+    ap.add_argument("--lo_overlap", type=float, default=0.5)
+    ap.add_argument("--rnum", type=int, default=2,
+                    help="random rotations per cloud in the GF/ET feature "
+                         "cache (reference Rnum=2, GF_ET.py:117)")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="checkpoint each head every N steps (0 = end only)")
     ap.add_argument("--skip_full_chain", action="store_true",
                     help="only the backbone+GF mutual/yohoc baseline")
     ap.add_argument("--cpu", action="store_true")
@@ -100,12 +114,14 @@ def main():
     rng = np.random.default_rng(0)
     scenes = []
     root = os.path.join(REPO, "data", "quality_scenes")
-    for i in range(3):
+    for i in range(args.n_scenes + args.n_lo_scenes):
+        ov = 0.8 if i < args.n_scenes else args.lo_overlap
         scenes.append(
             make_synthetic_scene(
-                os.path.join(root, f"scene{i}"), rng, num_clouds=3,
+                os.path.join(root, f"scene{i}"), rng,
+                num_clouds=args.clouds,
                 points_per_cloud=ppc, num_keypoints=cfg.num_keypoints,
-                overlap=0.8, max_angle_deg=50.0, surface_extent=extent,
+                overlap=ov, max_angle_deg=50.0, surface_extent=extent,
             )
         )
     test_scene = make_synthetic_scene(
@@ -142,7 +158,7 @@ def main():
     log("backbone trained")
 
     # ---- GF training ----
-    cache = RotatedFeatureCache(cfg, backbone_vars, rnum=2)
+    cache = RotatedFeatureCache(cfg, backbone_vars, rnum=args.rnum)
     gf_it = gf_et_batches(cache, scenes, batch_size=32, rng=rng,
                           pair_dist=0.03)
     tcfg = TrainConfig.defaults("gf", group_size=cfg.group_size)
@@ -150,12 +166,19 @@ def main():
     b = next(gf_it)
     gf_state = gf_init(jax.random.PRNGKey(1), b)
     acc = 0.0
+    from roreg_tpu.train.checkpoints import save_variables as _savev
+
     for i in range(args.steps_gf):
         gf_state, gm = gf_step(gf_state, b)
         b = next(gf_it)
         acc = 0.98 * acc + 0.02 * float(gm["dr_acc"])
         if (i + 1) % 100 == 0:
             log(f"GF step {i+1}: loss {float(gm['loss']):.4f} dr_acc~{acc:.3f}")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            _savev(os.path.join(args.ckdir, "gf_variables"), {
+                "params": gf_state["params"],
+                "batch_stats": gf_state["batch_stats"],
+            })
     gf_vars = {
         "params": gf_state["params"], "batch_stats": gf_state["batch_stats"]
     }
@@ -167,6 +190,18 @@ def main():
     ckdir = args.ckdir
     save_variables(os.path.join(ckdir, "backbone_variables"), backbone_vars)
     save_variables(os.path.join(ckdir, "gf_variables"), gf_vars)
+    # config tag: evaluation scripts assert they restore under the same
+    # config family (parameter shapes don't depend on voxel_size, so a
+    # mismatched restore would otherwise succeed silently and produce
+    # skewed numbers — round-4 advisor finding)
+    with open(os.path.join(ckdir, "config_tag.json"), "w") as f:
+        json.dump({
+            "small": bool(args.small), "group_size": cfg.group_size,
+            "voxel_size": cfg.voxel_size,
+            # scene-stream knobs: eval scripts replay the same rng stream
+            "n_scenes": args.n_scenes, "n_lo_scenes": args.n_lo_scenes,
+            "clouds": args.clouds, "lo_overlap": args.lo_overlap,
+        }, f)
 
     # ---- RM / ET / RD training + full-chain evaluation ----
     trained = {"backbone": backbone_vars, "gf": gf_vars}
@@ -230,6 +265,8 @@ def main():
             "steps_gf": args.steps_gf, "steps_rm": args.steps_rm,
             "steps_et": args.steps_et, "steps_rd": args.steps_rd,
             "voxel_size": cfg.voxel_size,
+            "n_scenes": args.n_scenes, "n_lo_scenes": args.n_lo_scenes,
+            "clouds": args.clouds, "rnum": args.rnum,
         },
         "pairs": results,
         "rr": float(np.mean([r["success"] for r in results])),
@@ -286,20 +323,24 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
     rm_init, rm_step, _ = make_train_step(tcfg)
     b = next(rm_it)
     rm_state = rm_init(jax.random.PRNGKey(3), b)
+    from roreg_tpu.train.checkpoints import save_variables
+
     for i in range(args.steps_rm):
         rm_state, m = rm_step(rm_state, b)
         b = next(rm_it)
         if (i + 1) % 100 == 0:
             log(f"RM step {i + 1}: loss {float(m['loss']):.4f}")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            save_variables(os.path.join(args.ckdir, "rm_variables"),
+                           {"params": rm_state["params"]})
     rm_vars = {"params": rm_state["params"]}
     log("RM trained")
-    from roreg_tpu.train.checkpoints import save_variables
 
     ckdir = args.ckdir
     save_variables(os.path.join(ckdir, "rm_variables"), rm_vars)
 
     # ---- ET (frozen GF) ----
-    cache = RotatedFeatureCache(cfg, backbone_vars, rnum=2)
+    cache = RotatedFeatureCache(cfg, backbone_vars, rnum=args.rnum)
     et_it = gf_et_batches(cache, scenes, batch_size=32, rng=rng, pair_dist=0.03)
     tcfg = TrainConfig.defaults("et", group_size=cfg.group_size)
     et_init, et_step, _ = make_train_step(tcfg, frozen={"gf": gf_vars})
@@ -310,6 +351,11 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
         b = next(et_it)
         if (i + 1) % 100 == 0:
             log(f"ET step {i + 1}: loss {float(m['loss']):.4f}")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            save_variables(os.path.join(args.ckdir, "et_variables"), {
+                "params": et_state["params"],
+                "batch_stats": et_state["batch_stats"],
+            })
     et_vars = {
         "params": et_state["params"], "batch_stats": et_state["batch_stats"]
     }
