@@ -8,15 +8,25 @@ matching, ET one-shot RANSAC — per-cloud descriptor work amortized across
 pairs exactly like the reference evaluation (testset.py once per cloud,
 test/* per pair).
 
-Timed-section design (round-4): the host C++ block-table builds for all
-clouds run BEFORE the clock starts (the reference amortizes descriptor
-inputs from its disk caches, testset.py:40-55 worker processes — and its
-1.81 s/cloud "Desc" time is GPU compute, not voxelization), and every
-device dispatch is issued from the single main thread: host->device
+Timed-section design (round-5): TWO timed phases, both reported.
+
+1. *device-only* — host C++ block-table builds for all clouds run before
+   the clock (the reference amortizes descriptor inputs from its disk
+   caches, testset.py:40-55 worker processes — its 1.81 s/cloud "Desc"
+   time is GPU compute, not voxelization); cloud 0's describe is the
+   untimed warmup, 7 describes + 28 pair stages are timed. Measures pure
+   device throughput.
+2. *end-to-end* (the HEADLINE) — the clock starts before ANY host work:
+   a background thread rebuilds every cloud's host payload inside the
+   window while the main thread dispatches describes as payloads land,
+   ALL 8 describes are timed (8/28 = 0.286 describes/pair, slightly more
+   conservative than the protocol's 433/1623 = 0.267), then the 28 pair
+   stages. Nothing is amortized out: this is what a user measures.
+
+Every device dispatch is issued from the single main thread: host->device
 payload puts are async, chunk programs + GF/RD/sampling queue behind them,
 and the pair stages consume device-resident descriptor stacks through a
-fused-gather jit. The only timed host work is dispatch itself, so the
-number measures the machine, not CPU contention on the 2-core driver host.
+fused-gather jit.
 
 Baseline: the reference registers ~1623 3DMatch pairs in 37.1 min on an
 RTX 2080Ti (RoReg_Appendix Table 1) ~= 0.73 pairs/s.
@@ -162,14 +172,14 @@ def main():
     jax.block_until_ready(kps_dev)
     log("host payloads built")
 
-    def describe_device(i, seed):
+    def describe_device(payload_tuple, seed):
         """Per-cloud device work, production layout (Evaluator.process_scene):
         backbone chunk programs + ONE fused tail (GF -> RD -> NMS ->
         gathers). 2 async puts + 7 dispatches per cloud, no host sync."""
-        payload, key_rows, caps = payloads[i]
+        payload, key_rows, caps = payload_tuple
         bb = dispatch_cloud_payloads(pipe.variables["backbone"], payload,
                                      key_rows, caps, cfg)
-        return describe_tail(pipe.variables, bb, kps_dev[i],
+        return describe_tail(pipe.variables, bb, kps_dev[seed],
                              cloud_keys[seed], cfg)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -218,14 +228,17 @@ def main():
     cloud_keys = [jax.random.PRNGKey(i) for i in range(n_clouds)]
     jax.block_until_ready(cloud_keys)
     log("compiling describe()...")
-    d0 = describe_device(0, 0)
+    d0 = describe_device(payloads[0], 0)
     jax.block_until_ready(d0[1])
     log("describe compiled; compiling pair stage...")
     # warm with the production stack shape (n_clouds deep) so the fused
     # pair program compiled here is byte-identical to the timed one
     wb, wg, wk = (jnp.stack([x] * n_clouds) for x in d0)
-    warm_prepped = prep_batches([(0, 1)] * cfg.eval_pair_batch, 9)
-    T = run_pairs(wb, wg, wk, warm_prepped, cfg.eval_pair_batch)
+    # warm the SAME batch count as the timed phases (4 batches of 7): the
+    # first execution of a new dispatch sequence can pay one-time remote
+    # program-load costs that a single-batch warmup does not absorb
+    warm_prepped = prep_batches([(0, 1)] * len(pairs), 9)
+    T = run_pairs(wb, wg, wk, warm_prepped, len(pairs))
     jax.block_until_ready(T)
     compile_s = time.perf_counter() - t_compile0
     log(f"warmup done in {compile_s:.0f}s")
@@ -235,7 +248,7 @@ def main():
     t0 = time.perf_counter()
     descs = [d0]
     for i in range(1, n_clouds):
-        descs.append(describe_device(i, i))
+        descs.append(describe_device(payloads[i], i))
         log(f"describe cloud {i} dispatched (+{time.perf_counter() - t0:.1f}s)")
     # one device-side stack per field; the pair batches gather from these
     all_bb = jnp.stack([d[0] for d in descs])
@@ -251,11 +264,48 @@ def main():
     elapsed = time.perf_counter() - t0
     log(f"describe {t_desc:.1f}s total, pair stages {elapsed - t_desc:.1f}s "
         f"({(elapsed - t_desc) / len(pairs):.2f}s/pair)")
+    pairs_per_s_device = len(pairs) / elapsed
 
-    # amortization: timed section covered (n_clouds - 1) describes +
-    # len(pairs) pair stages; scale the describe cost to per-pair the same
-    # way the reference's 37.1 min mixes per-cloud and per-pair stages.
-    pairs_per_s = len(pairs) / elapsed
+    # ---- timed: END-TO-END phase (the headline) ----
+    # The clock covers EVERYTHING a user would wait for: host C++ payload
+    # builds (rebuilt fresh inside the window, overlapping device compute
+    # via one background builder thread), all n_clouds describes, and all
+    # pair stages. Same compiled programs as phase 1 — no compile skew.
+    import queue
+    import threading
+
+    e2e_prepped = prep_batches(pairs, 200)
+    payload_q: queue.Queue = queue.Queue(maxsize=2)  # bounds payload RAM
+
+    def _builder():
+        for pc, kp in clouds:
+            payload_q.put(build_cloud_payloads(pc, kp, cfg))
+
+    log("end-to-end phase: clock starts (host builds inside the window)")
+    t0e = time.perf_counter()
+    builder = threading.Thread(target=_builder)
+    builder.start()
+    descs_e = []
+    for i in range(n_clouds):
+        descs_e.append(describe_device(payload_q.get(), i))
+        log(f"e2e describe cloud {i} dispatched "
+            f"(+{time.perf_counter() - t0e:.1f}s)")
+    all_bb_e = jnp.stack([d[0] for d in descs_e])
+    all_gf_e = jnp.stack([d[1] for d in descs_e])
+    all_kp_e = jnp.stack([d[2] for d in descs_e])
+    float(all_gf_e.ravel()[0])
+    t_desc_e = time.perf_counter() - t0e
+    Ts_e = run_pairs(all_bb_e, all_gf_e, all_kp_e, e2e_prepped, len(pairs))
+    np.asarray(Ts_e)
+    elapsed_e = time.perf_counter() - t0e
+    builder.join()
+    log(f"e2e: describe(all {n_clouds}, host builds overlapped) "
+        f"{t_desc_e:.1f}s, pair stages {elapsed_e - t_desc_e:.1f}s")
+
+    # Headline = end-to-end: all host builds + all describes + all pair
+    # stages inside the window (8/28 = 0.286 describes/pair vs the
+    # protocol's 433/1623 = 0.267 that the 0.73 pairs/s baseline mixes).
+    pairs_per_s = len(pairs) / elapsed_e
     result = {
         "metric": "registered_pairs_per_sec_per_chip",
         "value": round(pairs_per_s, 4),
@@ -264,9 +314,19 @@ def main():
         "detail": {
             "n_clouds": n_clouds,
             "n_pairs": len(pairs),
-            "elapsed_s": round(elapsed, 3),
-            "describe_s": round(t_desc, 3),
-            "pair_stage_s": round(elapsed - t_desc, 3),
+            "timing": "end_to_end (host payload builds + all describes + "
+                      "pair stages all inside the timed window)",
+            "elapsed_s": round(elapsed_e, 3),
+            "describe_s": round(t_desc_e, 3),
+            "pair_stage_s": round(elapsed_e - t_desc_e, 3),
+            "device_only": {
+                "pairs_per_sec": round(pairs_per_s_device, 4),
+                "elapsed_s": round(elapsed, 3),
+                "describe_s": round(t_desc, 3),
+                "pair_stage_s": round(elapsed - t_desc, 3),
+                "timing": "host builds untimed, cloud-0 describe untimed "
+                          "(warmup), 7 describes + 28 pairs timed",
+            },
             "compile_s": round(compile_s, 1),
             "keynum": cfg.keynum,
             "max_iter": cfg.max_iter,

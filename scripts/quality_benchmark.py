@@ -54,12 +54,24 @@ def main():
     ap.add_argument("--lo_overlap", type=float, default=0.45)
     ap.add_argument("--variants", default="all",
                     help="comma list of chain variants, or 'all' / 'full'")
-    ap.add_argument("--ckdir",
-                    default=os.path.join(REPO, "checkpoints_quality"))
+    ap.add_argument("--full", action="store_true",
+                    help="protocol-shape config (voxel 0.025, 20k-pt "
+                         "clouds, quality_full_config) + the full-size "
+                         "checkpoints; default is the small config")
+    ap.add_argument("--ckdir", default=None,
+                    help="checkpoint dir (default: checkpoints_quality, "
+                         "or checkpoints_quality_full with --full)")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
+    ap.add_argument("--out_key", default="benchmark",
+                    help="top-level QUALITY.json key to write under")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the TPU (default: CPU backend)")
     args = ap.parse_args()
+    if args.ckdir is None:
+        args.ckdir = os.path.join(
+            REPO,
+            "checkpoints_quality_full" if args.full else "checkpoints_quality",
+        )
 
     import jax
 
@@ -75,6 +87,7 @@ def main():
     from roreg_tpu.data.synthetic import make_synthetic_scene
     from roreg_tpu.eval.evaluator import Evaluator
     from roreg_tpu.pipeline.quality_config import (
+        quality_full_config,
         quality_scene_params,
         quality_small_config,
     )
@@ -86,12 +99,30 @@ def main():
     def log(msg):
         print(f"[qbench +{time.time() - t0:.0f}s] {msg}", flush=True)
 
-    cfg = quality_small_config(args.group_size)
-    ppc, extent = quality_scene_params(small=True)
+    cfg = (quality_full_config if args.full else quality_small_config)(
+        args.group_size
+    )
+    ppc, extent = quality_scene_params(small=not args.full)
+
+    # config-tag guard (round-4 advisor finding: parameter shapes don't
+    # depend on voxel_size, so a small/full checkpoint mix-up restores
+    # silently and produces skewed numbers)
+    tag_path = os.path.join(args.ckdir, "config_tag.json")
+    if os.path.exists(tag_path):
+        with open(tag_path) as f:
+            tag = json.load(f)
+        if tag.get("small") == args.full:
+            raise SystemExit(
+                f"checkpoint config mismatch: {tag_path} says "
+                f"small={tag.get('small')} but --full={args.full}"
+            )
 
     # ---- held-out benchmark scenes (fresh seed, not the training stream) ----
     rng = np.random.default_rng(7)
-    root = os.path.join(REPO, "data", "quality_bench_scenes")
+    root = os.path.join(
+        REPO, "data",
+        "quality_bench_scenes_full" if args.full else "quality_bench_scenes",
+    )
     hi, lo = {}, {}
     for i in range(args.scenes):
         ds = make_synthetic_scene(
@@ -177,6 +208,7 @@ def main():
 
     results["wall_s"] = round(time.time() - t0, 1)
     results["config"] = {
+        "full_config": bool(args.full), "voxel_size": cfg.voxel_size,
         "group_size": args.group_size, "keynums": keynums,
         "scenes_per_split": args.scenes, "clouds": args.clouds,
         "pairs_per_split": n_hi,
@@ -193,7 +225,7 @@ def main():
             q = json.load(f)
     except Exception:
         q = {}
-    q["benchmark"] = results
+    q[args.out_key] = results
     with open(args.out, "w") as f:
         json.dump(q, f, indent=2)
     print(json.dumps(results), flush=True)

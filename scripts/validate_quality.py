@@ -382,6 +382,11 @@ def _train_full_chain(args, cfg, scenes, backbone_vars, gf_vars, rng, log):
         b = next(rd_it)
         if (i + 1) % 100 == 0:
             log(f"RD step {i + 1}: loss {float(m['loss']):.4f}")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            save_variables(os.path.join(args.ckdir, "rd_variables"), {
+                "params": rd_state["params"],
+                "batch_stats": rd_state["batch_stats"],
+            })
     rd_vars = {
         "params": rd_state["params"], "batch_stats": rd_state["batch_stats"]
     }
