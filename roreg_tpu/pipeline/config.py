@@ -27,11 +27,12 @@ class PipelineConfig:
     # how many of the 60 rotations run per jitted backbone pass
     group_chunk: int = 10
     # rotations vmapped TOGETHER through the block engine inside a chunk
-    # (must divide group_chunk). The per-rotation UNet is ~16 small
-    # stages whose per-kernel overheads dominate (measured ~8 ms/stage at
-    # production shapes vs ~1 ms of roofline work); batching rotations
-    # amortizes them. Memory: halo intermediates are ~0.45 GB/rotation at
-    # bench caps — rot_vmap=5 peaks ~2.3 GB.
+    # (must divide group_chunk). MEASURED PESSIMIZATION — keep at 1:
+    # vmapping 5 rotations is 1.7x slower/rotation under the round-3
+    # engine and 1.24x under the dense-conv1 engine (re-measured round 5,
+    # scripts/experiment_rot_vmap.py: 83.4 vs 67.5 ms/rotation at bench
+    # caps) — batching worsens XLA's gather lowering more than it
+    # amortizes per-kernel overheads. The knob stays for future engines.
     rot_vmap: int = 1
     # backbone execution engine:
     #   "block"  — block-dense micro-block engine (sparse/block.py): coarse
