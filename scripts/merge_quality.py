@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("src")
     ap.add_argument("--keys", default="config,pairs,rr,full_chain,wall_s")
+    ap.add_argument("--as", dest="as_key", default=None,
+                    help="nest the selected keys under this single "
+                         "top-level key (e.g. ablation_g24) instead of "
+                         "merging them at top level")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY.json"))
     args = ap.parse_args()
 
@@ -34,14 +38,20 @@ def main():
             dst = json.load(f)
     except Exception:
         dst = {}
+    picked = {}
     for k in args.keys.split(","):
         if k in src:
-            dst[k] = src[k]
+            picked[k] = src[k]
         else:
             print(f"warning: key {k!r} not in {args.src}")
+    if args.as_key:
+        dst[args.as_key] = picked
+    else:
+        dst.update(picked)
     with open(args.out, "w") as f:
         json.dump(dst, f, indent=2)
-    print(f"merged {args.keys} from {args.src} into {args.out}")
+    where = f"under {args.as_key!r} in" if args.as_key else "into"
+    print(f"merged {args.keys} from {args.src} {where} {args.out}")
 
 
 if __name__ == "__main__":
