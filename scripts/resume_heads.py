@@ -114,7 +114,15 @@ def main():
     gf_vars = load_variables(
         os.path.join(args.ckdir, "gf_variables"), templates["gf"]
     )
-    log("backbone/GF restored")
+    # commit restored trees to the compute device: orbax restores
+    # CPU-committed arrays, and jit dispatches a program on the committed
+    # device of its arguments — without this every describe silently runs
+    # on the CPU backend (bench.py:151 / Evaluator.__post_init__ do the
+    # same; measured as 30+ min/cloud vs 1.5 s on the chip)
+    dev = jax.devices()[0]
+    backbone_vars = jax.device_put(backbone_vars, dev)
+    gf_vars = jax.device_put(gf_vars, dev)
+    log(f"backbone/GF restored (committed to {dev})")
 
     from roreg_tpu.pipeline.extractor import extract
     from roreg_tpu.pipeline.registration import gf_apply
@@ -127,6 +135,13 @@ def main():
 
     rng = np.random.default_rng(1)
 
+    if not args.cpu and jax.default_backend() == "cpu":
+        raise SystemExit(
+            "device backend is CPU but --cpu was not passed: a full-config "
+            "run would silently take hours — aborting (is the accelerator "
+            "available?)"
+        )
+
     if "rm" in phases:
         gf_feats = {}
         for ds in scenes:
@@ -137,6 +152,7 @@ def main():
                 gf_feats[(ds.name, pc_id)] = np.asarray(
                     gf_apply(gf_vars, bb, cfg)
                 )
+                log(f"GF feats {ds.name}/{pc_id} (rss {rss_gb():.1f} GB)")
         log(f"GF features extracted for RM (rss {rss_gb():.1f} GB)")
 
         rm_it = rm_batches(
@@ -188,12 +204,12 @@ def main():
     if "rd" in phases:
         from roreg_tpu.train.selfrun import build_rd_match_bank
 
-        rm_vars = load_variables(
+        rm_vars = jax.device_put(load_variables(
             os.path.join(args.ckdir, "rm_variables"), templates["rm"]
-        )
-        et_vars = load_variables(
+        ), dev)
+        et_vars = jax.device_put(load_variables(
             os.path.join(args.ckdir, "et_variables"), templates["et"]
-        )
+        ), dev)
         pipe = RegistrationPipeline(
             dataclasses.replace(cfg, use_rd=False, use_rm=False,
                                 estimator="yohoc"),
