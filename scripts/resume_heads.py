@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--phases", default="rm,et,rd,eval",
                     help="comma subset of rm,et,rd,eval — run in order")
     ap.add_argument("--steps_rm", type=int, default=5000)
+    ap.add_argument("--rm_lr_decay_steps", type=int, default=None,
+                    help="override RM lr decay horizon (the component "
+                         "default, 10k steps at rate 0.8, barely decays "
+                         "over a short-schedule run — pass ~steps_rm/3 "
+                         "with rate 0.5 for a converged tail)")
+    ap.add_argument("--rm_lr_decay_rate", type=float, default=None)
     ap.add_argument("--steps_et", type=int, default=8000)
     ap.add_argument("--steps_rd", type=int, default=2500)
     ap.add_argument("--rnum", type=int, default=2)
@@ -159,7 +165,12 @@ def main():
             gf_feats, scenes, rng, min_ps=256, max_ps=1024, capacity=1024,
             group_size=cfg.group_size,
         )
-        tcfg = TrainConfig.defaults("rm", group_size=cfg.group_size)
+        rm_kw = {}
+        if args.rm_lr_decay_steps:
+            rm_kw["lr_decay_steps"] = args.rm_lr_decay_steps
+        if args.rm_lr_decay_rate:
+            rm_kw["lr_decay_rate"] = args.rm_lr_decay_rate
+        tcfg = TrainConfig.defaults("rm", group_size=cfg.group_size, **rm_kw)
         rm_init, rm_step, _ = make_train_step(tcfg)
         b = next(rm_it)
         rm_state = rm_init(jax.random.PRNGKey(3), b)
