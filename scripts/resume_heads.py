@@ -48,6 +48,14 @@ def main():
                          "over a short-schedule run — pass ~steps_rm/3 "
                          "with rate 0.5 for a converged tail)")
     ap.add_argument("--rm_lr_decay_rate", type=float, default=None)
+    ap.add_argument("--extra_lo", type=int, default=0,
+                    help="synthesize N additional LOW-overlap scenes (seed "
+                         "21, disjoint from both the training stream and "
+                         "the seed-7 benchmark stream) and add them to the "
+                         "RM training pool — the low-overlap splits are "
+                         "where RM's matching is hardest")
+    ap.add_argument("--extra_lo_overlap", type=float, default=0.45)
+    ap.add_argument("--extra_clouds", type=int, default=3)
     ap.add_argument("--steps_et", type=int, default=8000)
     ap.add_argument("--steps_rd", type=int, default=2500)
     ap.add_argument("--rnum", type=int, default=2)
@@ -149,6 +157,26 @@ def main():
         )
 
     if "rm" in phases:
+        if args.extra_lo:
+            from roreg_tpu.data.synthetic import make_synthetic_scene
+            from roreg_tpu.pipeline.quality_config import (
+                quality_scene_params,
+            )
+
+            ppc, extent = quality_scene_params(small=tag["small"])
+            rng_lo = np.random.default_rng(21)
+            lo_root = os.path.join(REPO, "data", "quality_scenes_rmlo")
+            for i in range(args.extra_lo):
+                ds = make_synthetic_scene(
+                    os.path.join(lo_root, f"rm_lo{i}"), rng_lo,
+                    num_clouds=args.extra_clouds, points_per_cloud=ppc,
+                    num_keypoints=cfg.num_keypoints,
+                    overlap=args.extra_lo_overlap, max_angle_deg=50.0,
+                    surface_extent=extent,
+                )
+                ds.name = f"rm_lo{i}"
+                scenes.append(ds)
+            log(f"{args.extra_lo} extra low-overlap RM scenes synthesized")
         gf_feats = {}
         for ds in scenes:
             for pc_id in ds.pc_ids:
